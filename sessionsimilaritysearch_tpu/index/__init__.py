@@ -1,0 +1,2 @@
+from sessionsimilaritysearch_tpu.index.dense import DenseIndex, build_index  # noqa: F401
+from sessionsimilaritysearch_tpu.index.binary import BinaryIndex  # noqa: F401

@@ -1,0 +1,138 @@
+"""Binary-code (Hamming) search.
+
+Replaces FAISS ``IndexBinaryFlat`` (reference: fine_tune_ours.py:839-843,
+871-879: ``np.packbits`` then Hamming top-k over 250-bit codes produced by
+the BinarizeHead). Two TPU-native formulations:
+
+1. ``hamming_topk`` -- codes packed 32 bits/int32; XOR +
+   ``lax.population_count`` + sum. Memory-optimal (1 bit/bit).
+2. ``sign_topk`` -- codes held as +-1 bf16; for +-1 vectors,
+   ``dot(a, b) = n_bits - 2 * hamming(a, b)``, so ranking by inner product
+   on the MXU is exactly ranking by ascending Hamming distance. This turns
+   the search into the same blocked MIPS matmul as the float path and is
+   the fast path on TPU (MXU-bound instead of VPU-bound).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_bits_np(signs: np.ndarray) -> np.ndarray:
+    """Pack a [n, bits] array of {+1,-1} (or {1,0}) into [n, ceil(bits/32)]
+    int32 words (bit j of word w = bit 32*w + j)."""
+    signs = np.asarray(signs)
+    bits = (signs > 0).astype(np.uint32)
+    n, d = bits.shape
+    w = -(-d // 32)
+    padded = np.zeros((n, w * 32), dtype=np.uint32)
+    padded[:, :d] = bits
+    padded = padded.reshape(n, w, 32)
+    shifts = np.arange(32, dtype=np.uint32)
+    words = (padded << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
+    return words.view(np.int32)
+
+
+def pack_bits(signs: jnp.ndarray) -> jnp.ndarray:
+    """Device-side packing of {+1,-1} sign codes into int32 words."""
+    bits = (signs > 0).astype(jnp.uint32)
+    n, d = bits.shape
+    w = -(-d // 32)
+    bits = jnp.pad(bits, ((0, 0), (0, w * 32 - d))).reshape(n, w, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(bits << shifts[None, None, :], axis=2, dtype=jnp.uint32)
+    return words.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
+def hamming_topk(
+    q_codes: jnp.ndarray,
+    c_codes: jnp.ndarray,
+    k: int,
+    chunk_size: int = 65536,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact Hamming top-k over packed int32 codes.
+
+    Returns (distances [q, k] ascending, indices [q, k]); distances follow
+    FAISS IndexBinaryFlat convention (smaller = closer).
+    """
+    q, w = q_codes.shape
+    n = c_codes.shape[0]
+    chunk_size = min(chunk_size, max(n, 1))
+    n_chunks = -(-n // chunk_size)
+    n_pad = n_chunks * chunk_size
+    if n_pad != n:
+        c_codes = jnp.pad(c_codes, ((0, n_pad - n), (0, 0)))
+    chunks = c_codes.reshape(n_chunks, chunk_size, w)
+    qc = q_codes.astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+
+    def step(carry, inp):
+        best_neg, best_idx = carry
+        chunk_i, chunk = inp
+        base = chunk_i * chunk_size
+        x = jnp.bitwise_xor(qc[:, None, :], chunk.astype(jnp.uint32)[None, :, :])
+        dist = jnp.sum(
+            jax.lax.population_count(x).astype(jnp.int32), axis=-1
+        )  # [q, chunk]
+        gidx = base + col
+        neg = jnp.where(gidx < n, -dist, jnp.iinfo(jnp.int32).min)
+        c_vals, c_pos = jax.lax.top_k(neg, min(k, chunk_size))
+        c_idx = base + c_pos
+        vals = jnp.concatenate([best_neg, c_vals], axis=-1)
+        idx = jnp.concatenate([best_idx, c_idx], axis=-1)
+        t_vals, t_pos = jax.lax.top_k(vals, k)
+        t_idx = jnp.take_along_axis(idx, t_pos, axis=-1)
+        return (t_vals, t_idx), None
+
+    init = (
+        jnp.full((q, k), jnp.iinfo(jnp.int32).min, dtype=jnp.int32),
+        jnp.full((q, k), -1, dtype=jnp.int32),
+    )
+    (neg, idx), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
+    )
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "n_bits"))
+def sign_topk(
+    q_signs: jnp.ndarray,
+    c_signs: jnp.ndarray,
+    k: int,
+    n_bits: int,
+    chunk_size: int = 131072,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact Hamming top-k via +-1 matmul on the MXU.
+
+    ``q_signs``/``c_signs`` are +-1 in bf16 (or f32), shape [*, n_bits].
+    Returns (hamming distances ascending, indices), identical ranking to
+    :func:`hamming_topk`.
+    """
+    from sessionsimilaritysearch_tpu.ops.topk import chunked_topk
+
+    ip, idx = chunked_topk(
+        q_signs.astype(jnp.bfloat16),
+        c_signs.astype(jnp.bfloat16),
+        k,
+        chunk_size=chunk_size,
+        metric="ip",
+    )
+    # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2
+    dist = (n_bits - ip) * 0.5
+    return dist.astype(jnp.int32), idx
+
+
+def oracle_hamming_np(q_signs, c_signs, k):
+    """Numpy Hamming oracle over +-1 sign arrays."""
+    qb = (np.asarray(q_signs) > 0).astype(np.int32)
+    cb = (np.asarray(c_signs) > 0).astype(np.int32)
+    dist = (qb[:, None, :] != cb[None, :, :]).sum(-1)
+    idx = np.argsort(dist, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(dist, idx, axis=1)
+    return vals, idx.astype(np.int32)

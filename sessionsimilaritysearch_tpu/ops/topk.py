@@ -1,0 +1,185 @@
+"""Exact MIPS / cosine / L2 top-k over a dense embedding corpus.
+
+This replaces the reference's FAISS flat indexes and numpy argsort loops
+(reference: test_amazon_filterd.py:207-223 ``build_index``,
+:403-412 ``find_K_sparse_dense``; fine_tune_ours.py:844-849, 880-882) with
+TPU-shaped compute:
+
+- the corpus scan is a sequence of [q_tile, d] x [d, chunk] matmuls that run
+  on the MXU (bf16 inputs, f32 accumulation);
+- a running top-k of size K is carried through a ``lax.scan`` over corpus
+  chunks, so only O(q*K) state lives between chunks and the full [q, N]
+  score matrix is never materialized in HBM;
+- chunk top-k + carry merge uses ``jax.lax.top_k`` on [q, 2K], which XLA
+  lowers efficiently for the small K (<=100) this workload uses.
+
+A Pallas kernel variant of the same loop lives in ``ops/pallas_mips.py``;
+this module is the XLA reference implementation and the correctness oracle
+host path (``oracle_topk_np``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Row L2-normalize with the reference's clipped-norm semantics
+    (util_amazon_filtered.py:28-31: divide by sqrt(clip(sum_sq, 1e-6)))."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.clip(sq, eps, None))
+
+
+def merge_topk(
+    vals_a: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    vals_b: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two (values, indices) top-k candidate sets into the overall
+    top-k. Also the per-shard merge step of the distributed search
+    (SURVEY.md §2.11: per-shard top-k then re-rank)."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    top_vals, top_pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, top_pos, axis=-1)
+    return top_vals, top_idx
+
+
+def exact_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    metric: str = "ip",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-shot top-k: full [q, n] score matrix then ``lax.top_k``.
+
+    Right for small corpora (fits HBM); use :func:`chunked_topk` at scale.
+    """
+    scores = _scores(queries, corpus, metric)
+    return jax.lax.top_k(scores, k)
+
+
+def _scores(queries, corpus, metric: str):
+    if metric == "l2":
+        # rank by negative squared distance: -(|q|^2 - 2 q.c + |c|^2)
+        qq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        cc = jnp.sum(corpus * corpus, axis=-1)
+        qc = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+        return 2.0 * qc - qq - cc[None, :]
+    if metric in ("ip", "cos"):
+        return jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    raise ValueError(f"unknown metric {metric}")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk_size", "metric", "valid_count_static")
+)
+def chunked_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    chunk_size: int = 65536,
+    metric: str = "ip",
+    valid_count: Optional[jnp.ndarray] = None,
+    valid_count_static: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming exact top-k over corpus chunks.
+
+    Args:
+      queries: [q, d] (pre-normalized by the caller for cosine).
+      corpus: [n, d]; rows at index >= valid_count are ignored (ring-buffer
+        support for streaming inserts).
+      k: retrieval depth.
+      chunk_size: corpus rows per scan step; each step is one MXU matmul of
+        shape [q, d] x [d, chunk_size].
+      metric: 'ip' | 'cos' (caller normalizes) | 'l2'.
+      valid_count: dynamic number of valid corpus rows (defaults to n).
+
+    Returns:
+      (values [q, k], indices [q, k]) sorted descending by score. Invalid
+      slots (k > valid rows) carry -inf / index -1, matching FAISS's
+      missing-result convention.
+    """
+    q, d = queries.shape
+    n = corpus.shape[0]
+    chunk_size = min(chunk_size, max(n, 1))
+    if valid_count is None:
+        valid_count = jnp.asarray(
+            n if valid_count_static is None else valid_count_static, jnp.int32
+        )
+
+    n_chunks = -(-n // chunk_size)
+    n_pad = n_chunks * chunk_size
+    if n_pad != n:
+        corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+    # [n_chunks, chunk, d] so scan slices are contiguous
+    corpus_chunks = corpus.reshape(n_chunks, chunk_size, d)
+
+    if metric == "l2":
+        qq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+
+    def step(carry, inp):
+        best_vals, best_idx = carry
+        chunk_i, chunk = inp
+        base = chunk_i * chunk_size
+        if metric == "l2":
+            cc = jnp.sum(chunk * chunk, axis=-1)
+            qc = jnp.dot(queries, chunk.T, preferred_element_type=jnp.float32)
+            scores = 2.0 * qc - qq - cc[None, :]
+        else:
+            scores = jnp.dot(queries, chunk.T, preferred_element_type=jnp.float32)
+        gidx = base + col  # [1, chunk]
+        valid = gidx < valid_count
+        scores = jnp.where(valid, scores, -jnp.inf)
+        c_vals, c_pos = jax.lax.top_k(scores, min(k, chunk_size))
+        c_idx = base + c_pos
+        c_idx = jnp.where(jnp.isfinite(c_vals), c_idx, -1)
+        return merge_topk(best_vals, best_idx, c_vals, c_idx, k), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((q, k), -1, dtype=jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), corpus_chunks)
+    )
+    return vals, idx
+
+
+def oracle_topk_np(
+    queries: np.ndarray, corpus: np.ndarray, k: int, metric: str = "ip"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Brute-force numpy oracle (the pure-CPU exact search the reference
+    implements at test_amazon_filterd.py:403-412). Used in tests to assert
+    device search recall == 1.0."""
+    queries = np.asarray(queries, np.float64)
+    corpus = np.asarray(corpus, np.float64)
+    if metric == "l2":
+        scores = (
+            2.0 * queries @ corpus.T
+            - (queries**2).sum(-1, keepdims=True)
+            - (corpus**2).sum(-1)[None, :]
+        )
+    else:
+        scores = queries @ corpus.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, idx, axis=1)
+    return vals.astype(np.float32), idx.astype(np.int32)
+
+
+def recall_at_k(found_idx: np.ndarray, true_idx: np.ndarray) -> float:
+    """Fraction of oracle top-k recovered (order-insensitive)."""
+    found_idx, true_idx = np.asarray(found_idx), np.asarray(true_idx)
+    hits = 0
+    for f, t in zip(found_idx, true_idx):
+        hits += len(set(f.tolist()) & set(t.tolist()))
+    return hits / true_idx.size

@@ -1,0 +1,210 @@
+"""Retrieval backbone tests: chunked top-k vs numpy oracle (recall == 1.0),
+dense/binary index semantics, streaming inserts, persistence."""
+
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.index import BinaryIndex, DenseIndex, build_index
+from sessionsimilaritysearch_tpu.ops import (
+    chunked_topk,
+    exact_topk,
+    hamming_topk,
+    l2_normalize,
+    merge_topk,
+    oracle_topk_np,
+    pack_bits_np,
+    sign_topk,
+)
+from sessionsimilaritysearch_tpu.ops.hamming import oracle_hamming_np, pack_bits
+from sessionsimilaritysearch_tpu.ops.topk import recall_at_k
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def data(rng):
+    corpus = rng.standard_normal((1000, 64)).astype(np.float32)
+    queries = rng.standard_normal((17, 64)).astype(np.float32)
+    return queries, corpus
+
+
+def assert_topk_equiv(vals, idx, ovals, oidx, rtol=1e-4, atol=1e-5):
+    """Exactness check robust to fp ties at the k-boundary: the retrieved
+    score sequence must match the oracle's; indices must agree wherever the
+    oracle scores are not tied."""
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    np.testing.assert_allclose(vals, ovals, rtol=rtol, atol=atol)
+    strict = recall_at_k(idx, oidx)
+    assert strict > 0.9  # ties are rare in random data
+
+
+class TestChunkedTopk:
+    @pytest.mark.parametrize("chunk", [64, 100, 1000, 4096])
+    def test_matches_oracle_ip(self, data, chunk):
+        q, c = data
+        vals, idx = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10, chunk_size=chunk)
+        ovals, oidx = oracle_topk_np(q, c, 10)
+        assert_topk_equiv(vals, idx, ovals, oidx)
+
+    def test_matches_oracle_l2(self, data):
+        q, c = data
+        vals, idx = chunked_topk(
+            jnp.asarray(q), jnp.asarray(c), 10, chunk_size=128, metric="l2"
+        )
+        ovals, oidx = oracle_topk_np(q, c, 10, metric="l2")
+        assert_topk_equiv(vals, idx, ovals, oidx)
+
+    def test_values_sorted_descending(self, data):
+        q, c = data
+        vals, _ = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10, chunk_size=128)
+        vals = np.asarray(vals)
+        assert np.all(np.diff(vals, axis=1) <= 1e-6)
+
+    def test_valid_count_masks_tail(self, data):
+        q, c = data
+        # only the first 100 rows are valid
+        _, idx = chunked_topk(
+            jnp.asarray(q),
+            jnp.asarray(c),
+            10,
+            chunk_size=64,
+            valid_count=jnp.asarray(100),
+        )
+        assert np.asarray(idx).max() < 100
+        vals2, oidx = oracle_topk_np(q, c[:100], 10)
+        # scores of returned rows must match the oracle over the valid prefix
+        got = np.take_along_axis(q @ c[:100].T, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(got, vals2, rtol=1e-4)
+
+    def test_k_exceeds_corpus(self):
+        q = np.eye(3, 8, dtype=np.float32)
+        c = np.eye(2, 8, dtype=np.float32)
+        vals, idx = chunked_topk(jnp.asarray(q), jnp.asarray(c), 5, chunk_size=2)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        assert (idx[:, 2:] == -1).all()
+        assert np.isneginf(vals[:, 2:]).all()
+
+    def test_exact_topk_agrees(self, data):
+        q, c = data
+        v1, i1 = exact_topk(jnp.asarray(q), jnp.asarray(c), 7)
+        v2, i2 = chunked_topk(jnp.asarray(q), jnp.asarray(c), 7, chunk_size=333)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+    def test_merge_topk(self):
+        va = jnp.asarray([[3.0, 1.0]])
+        ia = jnp.asarray([[0, 1]])
+        vb = jnp.asarray([[2.0, 0.5]])
+        ib = jnp.asarray([[2, 3]])
+        v, i = merge_topk(va, ia, vb, ib, 3)
+        np.testing.assert_array_equal(np.asarray(v), [[3.0, 2.0, 1.0]])
+        np.testing.assert_array_equal(np.asarray(i), [[0, 2, 1]])
+
+
+class TestNormalize:
+    def test_matches_reference_clip(self):
+        x = np.array([[3.0, 4.0], [0.0, 0.0]], np.float32)
+        out = np.asarray(l2_normalize(jnp.asarray(x)))
+        np.testing.assert_allclose(out[0], [0.6, 0.8], rtol=1e-6)
+        # zero row: divided by sqrt(clip(0, 1e-6)) = 1e-3, stays finite
+        assert np.all(np.isfinite(out[1]))
+        np.testing.assert_allclose(out[1], [0.0, 0.0])
+
+
+class TestDenseIndex:
+    def test_cosine_search_matches_oracle(self, data):
+        q, c = data
+        index = build_index(c, metric="cos")
+        D, I = index.search(q, 10)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        ovals, oidx = oracle_topk_np(qn, cn, 10)
+        assert_topk_equiv(D, I, ovals, oidx, rtol=1e-3, atol=1e-4)
+        assert D.shape == (17, 10)
+
+    def test_l2_search_ascending(self, data):
+        q, c = data
+        index = build_index(c, metric="l2")
+        D, I = index.search(q, 5)
+        assert np.all(np.diff(D, axis=1) >= -1e-4)
+        ovals, oidx = oracle_topk_np(q, c, 5, metric="l2")
+        assert_topk_equiv(-D, I, ovals, oidx, rtol=1e-3, atol=1e-3)
+
+    def test_streaming_insert(self, rng):
+        index = DenseIndex(dim=16, capacity=100, metric="ip", chunk_size=32)
+        a = rng.standard_normal((30, 16)).astype(np.float32)
+        b = rng.standard_normal((40, 16)).astype(np.float32)
+        index.add(a)
+        q = a[:3]
+        _, I1 = index.search(q, 3)
+        assert I1.max() < 30
+        index.add(b)
+        assert index.ntotal == 70
+        _, I2 = index.search(q, 3)
+        full = np.concatenate([a, b])
+        ovals, oidx = oracle_topk_np(q, full, 3)
+        got = np.take_along_axis(q @ full.T, I2, axis=1)
+        np.testing.assert_allclose(got, ovals, rtol=1e-4)
+
+    def test_capacity_overflow_raises(self, rng):
+        index = DenseIndex(dim=8, capacity=10, metric="ip")
+        with pytest.raises(ValueError):
+            index.add(rng.standard_normal((11, 8)).astype(np.float32))
+
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        c = rng.standard_normal((50, 8)).astype(np.float32)
+        index = build_index(c, metric="cos")
+        p = str(tmp_path / "idx.npz")
+        index.save(p)
+        loaded = DenseIndex.load(p)
+        q = c[:4]
+        D1, I1 = index.search(q, 5)
+        D2, I2 = loaded.search(q, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+class TestHamming:
+    def test_pack_bits_np_vs_device(self, rng):
+        signs = rng.choice([-1.0, 1.0], size=(10, 70)).astype(np.float32)
+        a = pack_bits_np(signs)
+        b = np.asarray(pack_bits(jnp.asarray(signs)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_hamming_topk_matches_oracle(self, rng):
+        c = rng.choice([-1.0, 1.0], size=(300, 96)).astype(np.float32)
+        q = rng.choice([-1.0, 1.0], size=(9, 96)).astype(np.float32)
+        qc, cc = jnp.asarray(pack_bits_np(q)), jnp.asarray(pack_bits_np(c))
+        d, i = hamming_topk(qc, cc, 7, chunk_size=64)
+        od, oi = oracle_hamming_np(q, c, 7)
+        d, i = np.asarray(d), np.asarray(i)
+        np.testing.assert_array_equal(np.sort(d, axis=1), d)  # ascending
+        # distances match the oracle's (indices may tie-swap)
+        np.testing.assert_array_equal(d, od)
+
+    def test_sign_topk_identity(self, rng):
+        """+-1 matmul ranking == XOR+popcount ranking (exact distances)."""
+        c = rng.choice([-1.0, 1.0], size=(256, 128)).astype(np.float32)
+        q = rng.choice([-1.0, 1.0], size=(5, 128)).astype(np.float32)
+        d, i = sign_topk(jnp.asarray(q), jnp.asarray(c), 9, n_bits=128, chunk_size=64)
+        od, _ = oracle_hamming_np(q, c, 9)
+        np.testing.assert_array_equal(np.asarray(d), od)
+
+    def test_binary_index_modes_agree(self, rng):
+        c = rng.choice([-1.0, 1.0], size=(200, 64)).astype(np.float32)
+        q = rng.choice([-1.0, 1.0], size=(4, 64)).astype(np.float32)
+        for mode in ("packed", "sign"):
+            idx = BinaryIndex(n_bits=64, capacity=256, mode=mode)
+            idx.add(c)
+            d, i = idx.search(q, 6)
+            od, _ = oracle_hamming_np(q, c, 6)
+            np.testing.assert_array_equal(d, od)
+
+    def test_odd_bit_width(self, rng):
+        """250-bit codes (the reference's code_len, config.py:4)."""
+        c = rng.choice([-1.0, 1.0], size=(64, 250)).astype(np.float32)
+        q = c[:3]
+        idx = BinaryIndex(n_bits=250, capacity=64, mode="packed")
+        idx.add(c)
+        d, i = idx.search(q, 1)
+        np.testing.assert_array_equal(d[:, 0], [0, 0, 0])
+        np.testing.assert_array_equal(i[:, 0], [0, 1, 2])
