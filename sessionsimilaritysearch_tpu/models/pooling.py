@@ -1,0 +1,135 @@
+"""Graph-level readouts (poolings) over padded node sets.
+
+Re-designs of model/gnn.py:123-217. The reference pools flat node lists via
+``global_*_pool(x, batch)`` segment ops; with dense padding each pooling is a
+masked reduction over the node axis [B, N, d] -- no segment scatter, fully
+vectorized.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def masked_mean(x, mask, axis=1):
+    """Mean over valid nodes; empty sets produce zeros."""
+    m = mask[..., None]
+    denom = jnp.clip(jnp.sum(m, axis=axis), 1.0, None)
+    return jnp.sum(x * m, axis=axis) / denom
+
+
+def masked_sum(x, mask, axis=1):
+    return jnp.sum(x * mask[..., None], axis=axis)
+
+
+def masked_max(x, mask, axis=1):
+    neg = jnp.finfo(x.dtype).min
+    out = jnp.max(jnp.where(mask[..., None] > 0, x, neg), axis=axis)
+    return jnp.where(jnp.any(mask > 0, axis=axis)[..., None], out, 0.0)
+
+
+class GraphPooling(nn.Module):
+    """mean/add/max pool -> dropout -> Linear
+    (reference: model/gnn.py:123-143)."""
+
+    pooling_key: str
+    num_out: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, graph=None, deterministic: bool = True):
+        if self.pooling_key == "mean":
+            pooled = masked_mean(x, mask)
+        elif self.pooling_key == "add":
+            pooled = masked_sum(x, mask)
+        elif self.pooling_key == "max":
+            pooled = masked_max(x, mask)
+        else:
+            raise ValueError(f"unrecognized pooling key: {self.pooling_key}")
+        pooled = nn.Dropout(self.dropout)(pooled, deterministic=deterministic)
+        return nn.Dense(self.num_out, name="lin")(pooled)
+
+
+class AttentionPooling(nn.Module):
+    """Attention against the graph's mean vector
+    (reference: model/gnn.py:145-161): att_i = x_i . mean(x), reweight,
+    mean-pool, Linear."""
+
+    num_out: int
+
+    @nn.compact
+    def __call__(self, x, mask, graph=None, deterministic: bool = True):
+        coarse = masked_mean(x, mask)  # [B, d]
+        att = jnp.einsum("bnd,bd->bn", x, coarse)  # [B, N]
+        weighted = x * att[..., None]
+        return nn.Dense(self.num_out, name="lin")(masked_mean(weighted, mask))
+
+
+class SRGNNPooling(nn.Module):
+    """SR-GNN readout (reference: model/gnn.py:164-181): local rep = the
+    last-clicked node; attention lin3(sigmoid(lin1(local) + lin2(x)));
+    global = sum att*x; out = Linear(concat(local, global))."""
+
+    num_out: int
+
+    @nn.compact
+    def __call__(self, x, mask, graph, deterministic: bool = True):
+        d = x.shape[-1]
+        local = masked_sum(x, graph.last_click_mask * mask)  # [B, d]
+        a = nn.Dense(d, name="lin1")(local)[:, None, :]  # [B, 1, d]
+        b = nn.Dense(d, name="lin2")(x)  # [B, N, d]
+        att = nn.Dense(1, use_bias=False, name="lin3")(nn.sigmoid(a + b))
+        weighted = x * att
+        global_rep = masked_sum(weighted, mask)
+        rep = jnp.concatenate([local, global_rep], axis=-1)
+        return nn.Dense(self.num_out, name="lin4")(rep)
+
+
+class PositionalAttentionPooling(nn.Module):
+    """Unified query+product pooling (reference: model/gnn.py:183-217).
+
+    Projects both node types to ``num_out - pos_dim``, concatenates a learned
+    positional embedding indexed by reverse position, expands products by
+    occurrence count (the reference's ``repeat_interleave`` -- here the
+    pre-flattened ``occ_*`` stream from data/graph.py), then soft-attention
+    pools the union of occurrence and query nodes.
+
+    The positional table has ``max_seq_len + 1`` rows (the reference indexes
+    an Embedding(max_seq_len) with values that can reach max_seq_len -- we
+    size the table to make that in-range).
+    """
+
+    num_out: int
+    max_seq_len: int
+
+    @nn.compact
+    def __call__(self, q_emb, p_emb, graph, deterministic: bool = True):
+        """q_emb [B, Q, dq]; p_emb [B, P, dp]; graph: batched SessionGraph."""
+        pos_dim = self.max_seq_len
+        feat = self.num_out - pos_dim
+        q = nn.Dense(feat, name="query_lin")(q_emb)
+        p = nn.Dense(feat, name="product_lin")(p_emb)
+        pos_table = nn.Embed(self.max_seq_len + 1, pos_dim, name="positional_emb")
+
+        q_pos = pos_table(graph.query_pos)  # [B, Q, pos_dim]
+        q_nodes = jnp.tanh(jnp.concatenate([q, q_pos], axis=-1))
+
+        # expand products to per-occurrence rows via the occ stream
+        occ = jnp.take_along_axis(
+            p, graph.occ_product[..., None], axis=1
+        )  # [B, O, feat]
+        occ_pos = pos_table(graph.occ_pos)
+        p_nodes = jnp.tanh(jnp.concatenate([occ, occ_pos], axis=-1))
+
+        nodes = jnp.concatenate([p_nodes, q_nodes], axis=1)  # [B, O+Q, num_out]
+        mask = jnp.concatenate([graph.occ_mask, graph.query_node_mask], axis=1)
+
+        coarse = masked_mean(nodes, mask)[:, None, :]  # [B, 1, num_out]
+        a = nn.Dense(self.num_out, name="node_emb_lin")(nodes)
+        b = nn.Dense(self.num_out, use_bias=False, name="coarse_rep_lin")(coarse)
+        att = nn.Dense(1, use_bias=False, name="att_lin")(nn.sigmoid(a + b))
+        weighted = nodes * att
+        return masked_mean(weighted, mask)
