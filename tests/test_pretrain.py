@@ -1,0 +1,136 @@
+"""Pretrain driver tests: one-step execution, loss decrease over steps,
+retrieval metrics, data-parallel mesh execution (SURVEY.md §4: multi-chip
+tests on a virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.config import tiny_test_config
+from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
+from sessionsimilaritysearch_tpu.parallel import create_mesh, shard_batch, shard_params
+from sessionsimilaritysearch_tpu.training.pretrain import (
+    create_pretrain_state,
+    make_encode_fn,
+    make_eval_step,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setup(gen, tokenizer):
+    cfg = tiny_test_config()
+    data = gen.dataset(16)
+    graphs = [
+        sequence_to_graph(i, s, t, tokenizer, cfg.dims)
+        for i, (s, t) in enumerate(data)
+    ]
+    batch = jax.tree.map(jnp.asarray, batch_graphs(graphs))
+    rng = jax.random.PRNGKey(0)
+    model, state = create_pretrain_state(cfg, rng, batch)
+    return cfg, model, state, batch
+
+
+class TestPretrainStep:
+    def test_single_step_runs(self, setup):
+        cfg, model, state, batch = setup
+        step = make_train_step(model, has_view=False)
+        state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+        # params actually changed
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.sum(jnp.abs(a - b))), state.params, state2.params
+        )
+        assert sum(jax.tree.leaves(diff)) > 0
+
+    def test_loss_decreases(self, setup):
+        cfg, model, state, batch = setup
+        step = make_train_step(model, has_view=False)
+        rng = jax.random.PRNGKey(2)
+        first = None
+        for i in range(8):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            if first is None:
+                first = float(metrics["next_product_loss"])
+        last = float(metrics["next_product_loss"])
+        assert last < first, (first, last)
+
+    def test_eval_step_deterministic(self, setup):
+        cfg, model, state, batch = setup
+        ev = make_eval_step(model)
+        m1 = ev(state, batch, jax.random.PRNGKey(3))
+        m2 = ev(state, batch, jax.random.PRNGKey(3))
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_encode_fn(self, setup):
+        cfg, model, state, batch = setup
+        enc = make_encode_fn(model)
+        emb = enc(state, batch)
+        assert emb.shape == (16, cfg.session_emb_dim)
+        assert np.isfinite(np.asarray(emb)).all()
+
+    def test_retrieval_metrics(self, setup):
+        cfg, model, state, batch = setup
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        p, r = model.apply(variables, batch, 5, method=model.retrieval_metrics)
+        assert 0.0 <= float(p) <= 1.0
+        assert 0.0 <= float(r) <= 1.0
+
+    def test_contrastive_view_branch(self, gen, tokenizer):
+        cfg = tiny_test_config(ctv_w=0.1)
+        data = gen.dataset(8)
+        graphs = [
+            sequence_to_graph(i, s, t, tokenizer, cfg.dims)
+            for i, (s, t) in enumerate(data)
+        ]
+        batch = jax.tree.map(jnp.asarray, batch_graphs(graphs))
+        rng = jax.random.PRNGKey(0)
+        from sessionsimilaritysearch_tpu.training.pretrain import PretrainModel
+        from sessionsimilaritysearch_tpu.training.train_state import (
+            adam_with_clip,
+            create_train_state,
+        )
+
+        model = PretrainModel(cfg)
+        state = create_train_state(
+            model, rng, (batch, rng), adam_with_clip(cfg.lr),
+            init_kwargs={"view_graph": batch, "deterministic": True},
+        )
+        step = make_train_step(model, has_view=True)
+        state, metrics = step(state, batch, rng, batch)
+        assert "ctv_loss" in metrics
+        assert np.isfinite(float(metrics["ctv_loss"]))
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single(self, setup):
+        """The same step over an 8-device data mesh must produce the same
+        loss (GSPMD semantics-preserving)."""
+        cfg, model, state, batch = setup
+        mesh = create_mesh()
+        assert mesh.shape["data"] == 8
+        step = make_train_step(model, has_view=False)
+        rng = jax.random.PRNGKey(5)
+        _, m_single = step(state, batch, rng)
+
+        sharded_batch = shard_batch(batch, mesh)
+        sharded_state = state.replace(
+            params=shard_params(state.params, mesh, min_rows=512)
+        )
+        _, m_shard = step(sharded_state, sharded_batch, rng)
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-3
+        )
+
+    def test_asin_table_is_sharded(self, setup):
+        cfg, model, state, batch = setup
+        mesh = create_mesh()
+        params = shard_params(state.params, mesh, min_rows=512)
+        table = params["target_asin_embedding"]["embedding"]
+        # 1000-row table over 8 devices: sharded row-wise
+        assert len(table.sharding.device_set) == 8
