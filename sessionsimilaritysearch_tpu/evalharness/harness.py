@@ -1,0 +1,185 @@
+"""End-to-end benchmark harness (reference: test_amazon_filterd.py:452-692
+``main2`` and the ``test()`` serve paths of fine_tune_ours.py:748-897).
+
+Pipeline: embed corpus -> build index -> embed queries -> timed exact top-K
+search -> quality report. Modes mirror the reference's:
+
+- 'model':  a session encoder (graph or text) + cosine DenseIndex
+- 'binary': fine-tuned hash codes + BinaryIndex (Hamming)
+- 'STAN' / 'SKNN': sparse CPU baselines via scipy
+
+Timings separate embed / build / search, like the reference's
+``time.perf_counter`` brackets (:577-579), and report queries/sec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from sessionsimilaritysearch_tpu.config import Config
+from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
+from sessionsimilaritysearch_tpu.evalharness import metrics
+from sessionsimilaritysearch_tpu.index import BinaryIndex, DenseIndex, build_index
+from sessionsimilaritysearch_tpu.index import sparse as sparse_index
+
+
+@dataclasses.dataclass
+class SearchResult:
+    D: np.ndarray
+    I: np.ndarray
+    embed_corpus_s: float
+    build_s: float
+    embed_query_s: float
+    search_s: float
+    qps: float
+    report: Optional[dict] = None
+
+
+class EmbeddingPipeline:
+    """Host-side embed loop: sessions -> padded graphs -> batched jitted
+    encoder forward -> stacked [N, d] matrix (the corpus-embed loop of
+    fine_tune_ours.py:821-832 as one XLA program per batch)."""
+
+    def __init__(self, cfg: Config, tokenizer, encode_fn: Callable,
+                 batch_size: int = 256):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.encode_fn = encode_fn
+        self.batch_size = batch_size
+
+    def __call__(self, data: Sequence) -> np.ndarray:
+        """``data``: list of (prefix, future) pairs or bare sessions."""
+        out = []
+        bs = self.batch_size
+        norm = [
+            d if isinstance(d, tuple) and len(d) == 2 else (d, [])
+            for d in data
+        ]
+        for s in range(0, len(norm), bs):
+            chunk = norm[s : s + bs]
+            pad = bs - len(chunk)
+            graphs = [
+                sequence_to_graph(
+                    i, seq, tar, self.tokenizer, self.cfg.dims,
+                    ignore_query=self.cfg.ignore_query,
+                )
+                for i, (seq, tar) in enumerate(chunk)
+            ]
+            if pad:
+                graphs.extend([graphs[-1]] * pad)  # static batch shape
+            emb = np.asarray(self.encode_fn(batch_graphs(graphs)))
+            out.append(emb[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
+
+def run_dense_search(
+    corpus_emb: np.ndarray,
+    query_emb: np.ndarray,
+    k: int,
+    metric: str = "cos",
+    chunk_size: int = 65536,
+) -> Tuple[np.ndarray, np.ndarray, float, float]:
+    """Build + timed search; returns (D, I, build_s, search_s)."""
+    t0 = time.perf_counter()
+    index = build_index(corpus_emb, metric=metric, chunk_size=chunk_size)
+    jax.block_until_ready(index._buf)
+    t1 = time.perf_counter()
+    D, I = index.search(query_emb, k)  # includes compile on first call
+    t2 = time.perf_counter()
+    return D, I, t1 - t0, t2 - t1
+
+
+def evaluate_encoder(
+    cfg: Config,
+    tokenizer,
+    encode_fn: Callable,
+    corpus_data: Sequence,
+    test_data: Sequence,
+    k: int = 100,
+    with_report: bool = True,
+    batch_size: int = 256,
+) -> SearchResult:
+    """The 'model' mode of main2: embed corpus+queries with an encoder,
+    cosine flat search, full quality report."""
+    pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
+    t0 = time.perf_counter()
+    corpus_emb = pipe([d[0] if isinstance(d, tuple) else d for d in corpus_data])
+    t1 = time.perf_counter()
+    query_emb = pipe(test_data)
+    t2 = time.perf_counter()
+    D, I, build_s, search_s = run_dense_search(corpus_emb, query_emb, k)
+    qps = len(test_data) / search_s if search_s > 0 else float("inf")
+    report = None
+    if with_report:
+        corpus_sessions = [
+            d[0] if isinstance(d, tuple) else d for d in corpus_data
+        ]
+        report = metrics.full_report(D, I, test_data, corpus_sessions)
+    return SearchResult(D, I, t1 - t0, build_s, t2 - t1, search_s, qps, report)
+
+
+def evaluate_binary(
+    db_codes: np.ndarray,
+    query_codes: np.ndarray,
+    corpus_sessions: Sequence,
+    test_data: Sequence,
+    k: int = 100,
+    mode: str = "sign",
+    with_report: bool = True,
+) -> SearchResult:
+    """The code_len>0 serve path of fine_tune_ours.test() (:839-879):
+    Hamming search over BinarizeHead codes."""
+    n_bits = db_codes.shape[1]
+    t0 = time.perf_counter()
+    index = BinaryIndex(n_bits=n_bits, capacity=db_codes.shape[0], mode=mode)
+    index.add(db_codes)
+    t1 = time.perf_counter()
+    D, I = index.search(query_codes, k)
+    t2 = time.perf_counter()
+    search_s = t2 - t1
+    report = None
+    if with_report:
+        report = metrics.full_report(D, I, test_data, corpus_sessions)
+    return SearchResult(
+        D, I, 0.0, t1 - t0, 0.0, search_s,
+        len(test_data) / search_s if search_s > 0 else float("inf"), report,
+    )
+
+
+def evaluate_sparse(
+    cfg: Config,
+    corpus_sessions: Sequence,
+    test_data: Sequence,
+    kind: str = "binary",
+    k: int = 100,
+    lammy: float = 1.04,
+    with_report: bool = True,
+) -> SearchResult:
+    """The 'STAN'/'SKNN' modes of main2 (:582-602): sparse CPU brute force."""
+    t0 = time.perf_counter()
+    corpus = sparse_index.build_sparse_corpus(
+        corpus_sessions, cfg.asin_num, kind=kind, lammy=lammy
+    )
+    t1 = time.perf_counter()
+    vec_fn = (
+        sparse_index.sequence_to_binary_vec
+        if kind == "binary"
+        else lambda s, n: sparse_index.sequence_to_stan_vec(s, n, lammy)
+    )
+    queries = np.stack([vec_fn(t[0], cfg.asin_num) for t in test_data])
+    t2 = time.perf_counter()
+    D, I = sparse_index.find_K_sparse_dense(corpus, queries, k)
+    t3 = time.perf_counter()
+    report = None
+    if with_report:
+        report = metrics.full_report(D, I, test_data, corpus_sessions)
+    search_s = t3 - t2
+    return SearchResult(
+        D, I, 0.0, t1 - t0, t2 - t1, search_s,
+        len(test_data) / search_s if search_s > 0 else float("inf"), report,
+    )

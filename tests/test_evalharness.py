@@ -1,0 +1,169 @@
+"""Eval harness tests: metric suite hand-checks, sparse baselines, kNN
+recommendation, end-to-end harness run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.config import tiny_test_config
+from sessionsimilaritysearch_tpu.data import schema
+from sessionsimilaritysearch_tpu.evalharness import harness, knn, metrics
+from sessionsimilaritysearch_tpu.index import sparse as sparse_index
+
+
+def _session(items):
+    return [
+        schema.Action(float(i), "c", None, f"A{a}", f"type{a % 3}", None,
+                      f"title {a}", a)
+        for i, a in enumerate(items)
+    ]
+
+
+class TestMetrics:
+    def test_average_precision(self):
+        assert metrics.average_precision([1, 1, 0, 0]) == 1.0
+        assert metrics.average_precision([0, 0, 0]) == 0.0
+        # hit at ranks 1 and 3: AP = (1/1 + 2/3) / 2
+        assert abs(metrics.average_precision([1, 0, 1]) - (1 + 2 / 3) / 2) < 1e-9
+
+    def test_future_map_perfect_retrieval(self):
+        corpus = [_session([1, 2]), _session([9, 8])]
+        test_data = [(_session([5]), _session([1]))]
+        I = np.array([[0, 1]])
+        # corpus[0] shares item 1 with the future -> hit at rank 1
+        assert metrics.get_future_map(I, test_data, corpus) == 1.0
+        I2 = np.array([[1, 0]])
+        assert metrics.get_future_map(I2, test_data, corpus) == 0.5
+
+    def test_jaccard_and_recall(self):
+        corpus = [_session([1, 2]), _session([3])]
+        test_data = [(_session([1, 2]), [])]
+        I = np.array([[0]])
+        assert metrics.get_cur_jaccard(I, test_data, corpus) == 1.0
+        assert metrics.get_cur_recall(I, test_data, corpus) == 1.0
+        I2 = np.array([[1]])
+        assert metrics.get_cur_jaccard(I2, test_data, corpus) == 0.0
+
+    def test_query_metric(self):
+        s_q = [schema.Action(0, "s", "red lamp", None, None, None, None)]
+        corpus = [s_q + _session([1])]
+        test_data = [(s_q, [])]
+        I = np.array([[0]])
+        assert metrics.get_query_metric(I, test_data, corpus, "cur", "recall") == 1.0
+        assert metrics.get_query_metric(I, test_data, corpus, "cur", "score") == 1.0
+
+    def test_recall_above_threshold(self):
+        corpus = [_session([1]), _session([99])]
+        test_data = [(_session([1]), [])]
+        I = np.array([[0, 1]])
+        r = metrics.get_recall_above_threshold(
+            test_data, corpus, I, "all_jaccard", 0.5
+        )
+        assert r == 0.5
+
+    def test_full_report_keys(self, gen):
+        test_data = gen.dataset(3)
+        corpus = [gen.session() for _ in range(5)]
+        I = np.zeros((3, 2), dtype=int)
+        D = np.zeros((3, 2))
+        rep = metrics.full_report(D, I, test_data, corpus)
+        assert "ave_all_product_type_score" in rep
+        assert "future_map" in rep and "frac_above_0.5" in rep
+
+
+class TestSparse:
+    def test_stan_vec_decay(self):
+        s = _session([1, 2])
+        v = sparse_index.sequence_to_stan_vec(s, 10, lammy=1.0)
+        assert v[2] > v[1] > 0  # later items weighted higher
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    def test_binary_vec(self):
+        s = _session([1, 1, 3])
+        v = sparse_index.sequence_to_binary_vec(s, 10)
+        assert v[1] > 0 and v[3] > 0 and v[0] == 0
+
+    def test_sparse_search_self_retrieval(self):
+        sessions = [_session([1, 2]), _session([3, 4]), _session([5])]
+        corpus = sparse_index.build_sparse_corpus(sessions, 10)
+        q = np.stack([
+            sparse_index.sequence_to_binary_vec(s, 10) for s in sessions
+        ])
+        D, I = sparse_index.find_K_sparse_dense(corpus, q, 1)
+        np.testing.assert_array_equal(I[:, 0], [0, 1, 2])
+
+    def test_stan_score_runs(self):
+        sessions = [_session([1, 2]), _session([3])]
+        test_data = [(_session([1]), [])]
+        I = np.array([[0, 1]])
+        s = sparse_index.get_STAN_score(I, test_data, sessions, 10)
+        assert np.isfinite(s)
+
+
+class TestKnn:
+    def test_prediction_by_knn(self):
+        corpus = [_session([1, 2]), _session([2, 3])]
+        pred = knn.get_prediction_by_knn(
+            np.array([1.0, 0.5]), np.array([0, 1]), corpus, 2
+        )
+        assert pred[0] == 2  # item 2 appears in both -> weight 1.5
+
+    def test_p_r(self):
+        p, r = knn.get_p_r({1, 2}, [1, 9], 2)
+        assert p == 0.5 and r == 0.5
+
+    def test_recommendation_recall(self):
+        corpus = [_session([1, 2]), _session([7, 8])]
+        test_data = [(_session([1]), _session([2]))]
+        D = np.array([[1.0, 0.1]])
+        I = np.array([[0, 1]])
+        r = knn.knn_recommendation_recall(D, I, test_data, corpus, K=2)
+        assert r == 1.0  # item 2 predicted from corpus[0]
+
+
+class TestHarness:
+    def test_evaluate_encoder_end_to_end(self, gen, tokenizer):
+        cfg = tiny_test_config()
+        from sessionsimilaritysearch_tpu.models import build_text_session_encoder
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+
+        enc = build_text_session_encoder(cfg)
+        corpus_data = gen.dataset(12)
+        test_data = gen.dataset(4)
+        # init params from one sample batch
+        import jax
+
+        sample = batch_graphs([
+            __import__(
+                "sessionsimilaritysearch_tpu.data.graph", fromlist=["sequence_to_graph"]
+            ).sequence_to_graph(0, corpus_data[0][0], corpus_data[0][1],
+                                tokenizer, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        res = harness.evaluate_encoder(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            batch_size=8,
+        )
+        assert res.I.shape == (4, 5)
+        assert res.qps > 0
+        assert "ave_all_jaccard" in res.report
+
+    def test_evaluate_sparse(self, gen):
+        cfg = tiny_test_config()
+        corpus_sessions = [gen.session() for _ in range(10)]
+        test_data = gen.dataset(3)
+        res = harness.evaluate_sparse(
+            cfg, corpus_sessions, test_data, kind="binary", k=4
+        )
+        assert res.I.shape == (3, 4)
+        assert res.report is not None
+
+    def test_evaluate_binary(self, gen, rng):
+        corpus_sessions = [gen.session() for _ in range(8)]
+        test_data = gen.dataset(2)
+        db = np.sign(rng.standard_normal((8, 32))).astype(np.float32)
+        q = db[:2]
+        res = harness.evaluate_binary(db, q, corpus_sessions, test_data, k=3)
+        np.testing.assert_array_equal(res.I[:, 0], [0, 1])  # self-retrieval
