@@ -309,6 +309,36 @@ def next_query_mlm_loss(logits, y, pred_target):
     return loss, jax.lax.stop_gradient(output)
 
 
+def autoregressive_query_loss(rng, dec_out, y, y_mask, token_table, neg_k: int):
+    """Autoregressive next-token loss with sampled negatives
+    (train_subsession_embedding.py:343-388). The reference unrolls every
+    prefix into a separate decoder call via a repeat construction; a single
+    causal decode is mathematically the same prefix representation, so this
+    takes the causally-decoded sequence ``dec_out`` [B, T, d] where position
+    t predicts token t+1.
+
+    token_table [V, d] is the query token embedding matrix; pos score =
+    sigmoid(rep . emb(y_next)), neg = sigmoid(-rep . emb(random)), averaged
+    with the reference's 1/(1+neg_k) weighting.
+    """
+    B, T, d = dec_out.shape
+    rep = dec_out[:, :-1, :]                      # predicts positions 1..T-1
+    y_next = y[:, 1:]
+    mask = y_mask[:, 1:].astype(rep.dtype)
+
+    pos_emb = token_table[y_next]                 # [B, T-1, d]
+    pos_val = jax.nn.sigmoid(jnp.sum(rep * pos_emb, axis=-1))
+
+    neg_ids = jax.random.randint(rng, (B, T - 1, neg_k), 0, token_table.shape[0])
+    neg_emb = token_table[neg_ids]                # [B, T-1, K, d]
+    neg_val = jax.nn.sigmoid(-jnp.einsum("btd,btkd->btk", rep, neg_emb))
+    neg_val = jnp.sum(neg_val, axis=-1)           # [B, T-1]
+
+    denom = jnp.clip(jnp.sum(mask), 1.0, None)
+    total = jnp.sum(pos_val * mask) / denom + jnp.sum(neg_val * mask) / denom
+    return -total / (1 + neg_k)
+
+
 def next_query_electra_loss(logits2, output, y, y_mask):
     """Decoder ELECTRA (train_subsession_embedding.py:232-241): classify
     each position as original/replaced. logits2 [..., T, 2]."""

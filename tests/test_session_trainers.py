@@ -1,0 +1,87 @@
+"""Session/subsession/joint trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.config import tiny_test_config
+from sessionsimilaritysearch_tpu.data.graph import (
+    batch_graphs,
+    sequence_to_graph,
+    truncate_to_subsession,
+)
+from sessionsimilaritysearch_tpu.training.session_trainers import (
+    create_joint_state,
+    create_session_state,
+    make_joint_train_step,
+    make_session_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def batches(gen, tokenizer):
+    cfg = tiny_test_config(qh_nhead=2, qh_nhid=32)
+    data = gen.dataset(8)
+    rng = np.random.default_rng(0)
+    session_graphs, subsession_graphs = [], []
+    for i, (seq, tar) in enumerate(data):
+        full = list(seq) + list(tar)
+        session_graphs.append(
+            sequence_to_graph(i, full, full, tokenizer, cfg.dims)
+        )
+        pre, fut = truncate_to_subsession((full, []), rng)
+        subsession_graphs.append(
+            sequence_to_graph(i, pre, fut, tokenizer, cfg.dims)
+        )
+    to_dev = lambda gs: jax.tree.map(jnp.asarray, batch_graphs(gs))
+    return cfg, to_dev(session_graphs), to_dev(subsession_graphs)
+
+
+class TestSessionTrainers:
+    @pytest.mark.parametrize("mode", ["subsession", "session"])
+    def test_step_runs_and_learns(self, batches, mode):
+        cfg, session_b, subsession_b = batches
+        graph = subsession_b if mode == "subsession" else session_b
+        rng = jax.random.PRNGKey(0)
+        model, state = create_session_state(cfg, rng, graph, mode=mode)
+        step = make_session_train_step(model)
+        first = None
+        for i in range(6):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, graph, sub)
+            if first is None:
+                first = float(m["loss"])
+        assert np.isfinite(float(m["loss"]))
+        assert float(m["loss"]) < first
+
+    def test_retrieval_metrics(self, batches):
+        cfg, _, subsession_b = batches
+        rng = jax.random.PRNGKey(1)
+        model, state = create_session_state(cfg, rng, subsession_b)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        p, r = model.apply(
+            variables, subsession_b, 5, method=model.retrieval_metrics
+        )
+        assert 0.0 <= float(p) <= 1.0 and 0.0 <= float(r) <= 1.0
+
+    def test_joint_trainer(self, batches):
+        cfg, session_b, subsession_b = batches
+        rng = jax.random.PRNGKey(2)
+        model, state = create_joint_state(cfg, rng, session_b, subsession_b)
+        step = make_joint_train_step(model)
+        state, m = step(state, session_b, subsession_b, rng)
+        for k in ("session_loss", "subsession_loss", "ctv_loss"):
+            assert np.isfinite(float(m[k])), k
+
+    def test_encode_method(self, batches):
+        cfg, _, subsession_b = batches
+        rng = jax.random.PRNGKey(3)
+        model, state = create_session_state(cfg, rng, subsession_b)
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        emb = model.apply(variables, subsession_b, method=model.encode)
+        assert emb.shape == (8, 2 * cfg.gnn_pooling_out)
