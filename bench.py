@@ -32,7 +32,7 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     if on_tpu:
         N, D, K, Q = 1 << 20, 1600, 100, 1024  # ~1.05M sessions
-        chunk = 1 << 16
+        chunk = N  # single-pass: the 1M x 1024 f32 score buffer fits HBM
         oracle_n, oracle_q = 65536, 64
         iters = 20
     else:  # CPU smoke fallback so the bench always emits a line
@@ -63,14 +63,23 @@ def main():
     # must be a traced argument, not a closure capture -- capturing bakes
     # the multi-GB array into the lowered program as a constant.
     def search(q):
-        return chunked_topk(q, corpus, K, chunk_size=chunk)
+        return chunked_topk(q, corpus, K, chunk_size=chunk, mode="exact",
+                            bucket=128)
 
-    out = search(queries)
-    jax.block_until_ready(out)  # compile + warm
+    # compile + warm: several chained materialized iterations, so no prior
+    # async work (corpus normalize, oracle pass) overlaps the timed region
+    q = queries
+    for _ in range(3):
+        vals, _ = search(q)
+        q = q + (vals[:, :1] * 1e-12).astype(q.dtype)
+    np.asarray(vals)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = search(queries)
-    jax.block_until_ready(out)
+        vals, idx = search(q)
+        # chain iterations through a data dependency so a lazily-dispatching
+        # runtime cannot overlap or defer them past the timer
+        q = q + (vals[:, :1] * 1e-12).astype(q.dtype)
+    np.asarray(vals)
     dt = (time.perf_counter() - t0) / iters
     qps = Q / dt
 
