@@ -1,0 +1,137 @@
+"""Multi-chip sharded dense index.
+
+The scale-out form of ``DenseIndex`` (SURVEY.md §7 M5 / BASELINE.md config 5:
+10M sessions on v5e-8): corpus rows stripe round-robin-by-batch across the
+mesh's ``data`` axis, each chip keeps a ring buffer plus the global ids of
+its rows, searches run per-shard and merge by all-gather
+(parallel/collectives.py). Streaming inserts append to every shard in
+parallel, so capacity and insert bandwidth both scale linearly with chips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sessionsimilaritysearch_tpu.ops import topk as topk_ops
+from sessionsimilaritysearch_tpu.parallel.collectives import sharded_topk
+
+
+class ShardedDenseIndex:
+    """Flat exact index over a corpus sharded across a mesh axis.
+
+    Semantics match ``DenseIndex`` ('cos'/'ip' metrics, FAISS-style (D, I)
+    results with GLOBAL insertion-order ids); rows live sharded and never
+    leave their chip.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        capacity: int,
+        mesh: Mesh,
+        axis: str = "data",
+        metric: str = "cos",
+        dtype=jnp.float32,
+        chunk_size: int = 262144,
+        mode: str = "exact",
+    ):
+        assert metric in ("cos", "ip")
+        self.dim = dim
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = mesh.shape[axis]
+        assert capacity % self.ndev == 0, "capacity must divide evenly"
+        self.capacity = capacity
+        self.shard_rows = capacity // self.ndev
+        self.metric = metric
+        self.dtype = jnp.dtype(dtype)
+        self.chunk_size = chunk_size
+        self.mode = mode
+        sh = NamedSharding(mesh, P(axis, None))
+        sh1 = NamedSharding(mesh, P(axis))
+        self._buf = jax.device_put(
+            jnp.zeros((capacity, dim), dtype=self.dtype), sh
+        )
+        self._ids = jax.device_put(
+            jnp.full((capacity,), -1, dtype=jnp.int32), sh1
+        )
+        self.size = 0  # total rows (== ndev * per-shard fill)
+        self._write_fn = self._make_write_fn()
+
+    def _make_write_fn(self):
+        axis = self.axis
+
+        def write(buf, ids, rows, row_ids, start):
+            new_buf = jax.lax.dynamic_update_slice(buf, rows, (start[0], 0))
+            new_ids = jax.lax.dynamic_update_slice(ids, row_ids, (start[0],))
+            return new_buf, new_ids
+
+        return jax.jit(
+            jax.shard_map(
+                write,
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P(axis)),
+                out_specs=(P(axis, None), P(axis)),
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    @property
+    def ntotal(self) -> int:
+        return self.size
+
+    def add(self, emb) -> None:
+        """Append [m, d]; m must be divisible by the mesh axis size (pad on
+        the host if needed). Rows keep global insertion-order ids."""
+        emb = jnp.asarray(emb, self.dtype)
+        m = emb.shape[0]
+        assert m % self.ndev == 0, (
+            f"insert batch {m} not divisible by {self.ndev} shards"
+        )
+        per = m // self.ndev
+        local_fill = self.size // self.ndev
+        if local_fill + per > self.shard_rows:
+            raise ValueError("sharded index full")
+        if self.metric == "cos":
+            emb = topk_ops.l2_normalize(emb).astype(self.dtype)
+        # row i of the batch -> shard i // per, preserving global id order
+        ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
+        sh = NamedSharding(self.mesh, P(self.axis, None))
+        sh1 = NamedSharding(self.mesh, P(self.axis))
+        rows = jax.device_put(emb, sh)
+        row_ids = jax.device_put(ids, sh1)
+        start = jax.device_put(
+            jnp.full((self.ndev,), local_fill, dtype=jnp.int32), sh1
+        )
+        self._buf, self._ids = self._write_fn(
+            self._buf, self._ids, rows, row_ids, start
+        )
+        self.size += m
+
+    def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = jnp.asarray(queries, self.dtype)
+        if self.metric == "cos":
+            queries = topk_ops.l2_normalize(queries).astype(self.dtype)
+        local_fill = self.size // self.ndev
+        valid = jax.device_put(
+            jnp.full((self.ndev,), local_fill, dtype=jnp.int32),
+            NamedSharding(self.mesh, P(self.axis)),
+        )
+        vals, ids = sharded_topk(
+            queries,
+            self._buf,
+            k,
+            self.mesh,
+            axis=self.axis,
+            shard_ids=self._ids,
+            valid_per_shard=valid,
+            chunk_size=self.chunk_size,
+            mode=self.mode,
+        )
+        return np.asarray(vals), np.asarray(ids)

@@ -46,6 +46,8 @@ def gen(tiny_cfg):
     return SyntheticSessionGenerator(asin_num=tiny_cfg.asin_num, seed=0)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: each test gets a fresh deterministic stream, so test
+    # outcomes don't depend on execution order
     return np.random.default_rng(0)

@@ -29,7 +29,7 @@ def _mk_batch(rng, b=6, d=24):
 
 
 @pytest.fixture(scope="module")
-def setup(rng):
+def setup():
     cfg = tiny_test_config()
     model, state, tx = create_finetune_state(cfg, jax.random.PRNGKey(0), emb_dim=24)
     return cfg, model, state, tx

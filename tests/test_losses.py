@@ -77,7 +77,7 @@ class TestTextEmbeddingLosses:
 
     def test_all_text_membership(self, rng):
         B, T, d = 3, 2, 4
-        rep = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+        rep = jnp.eye(B, d, dtype=jnp.float32)  # orthogonal rows
         targets = jnp.tile(rep[:, None, :], (1, T, 1)) * 8
         node_mask = jnp.ones((B, T))
         l_align = float(

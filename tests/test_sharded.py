@@ -1,0 +1,83 @@
+"""Multi-chip sharded search tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.index.sharded import ShardedDenseIndex
+from sessionsimilaritysearch_tpu.ops.topk import oracle_topk_np, recall_at_k
+from sessionsimilaritysearch_tpu.parallel import create_mesh
+from sessionsimilaritysearch_tpu.parallel.collectives import (
+    shard_corpus,
+    sharded_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh()
+
+
+class TestShardedTopk:
+    def test_matches_oracle(self, mesh, rng):
+        corpus = rng.standard_normal((1024, 32)).astype(np.float32)
+        queries = rng.standard_normal((9, 32)).astype(np.float32)
+        sc = shard_corpus(jnp.asarray(corpus), mesh)
+        vals, ids = sharded_topk(jnp.asarray(queries), sc, 7, mesh,
+                                 chunk_size=64)
+        ovals, oidx = oracle_topk_np(queries, corpus, 7)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-4)
+        assert recall_at_k(np.asarray(ids), oidx) > 0.9
+
+    def test_single_vs_sharded_identical(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import chunked_topk
+
+        corpus = rng.standard_normal((512, 16)).astype(np.float32)
+        queries = rng.standard_normal((5, 16)).astype(np.float32)
+        v1, i1 = chunked_topk(jnp.asarray(queries), jnp.asarray(corpus), 5,
+                              chunk_size=64)
+        sc = shard_corpus(jnp.asarray(corpus), mesh)
+        v2, i2 = sharded_topk(jnp.asarray(queries), sc, 5, mesh, chunk_size=64)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+class TestShardedDenseIndex:
+    def test_build_and_search(self, mesh, rng):
+        corpus = rng.standard_normal((800, 24)).astype(np.float32)
+        index = ShardedDenseIndex(dim=24, capacity=1024, mesh=mesh,
+                                  metric="cos", chunk_size=64)
+        index.add(corpus)
+        q = corpus[:6]
+        D, I = index.search(q, 5)
+        assert I[:, 0].tolist() == [0, 1, 2, 3, 4, 5]  # self-retrieval
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        ovals, oidx = oracle_topk_np(cn[:6], cn, 5)
+        np.testing.assert_allclose(D, ovals, rtol=1e-4)
+
+    def test_streaming_insert_preserves_global_ids(self, mesh, rng):
+        index = ShardedDenseIndex(dim=16, capacity=512, mesh=mesh,
+                                  metric="ip", chunk_size=64)
+        a = rng.standard_normal((128, 16)).astype(np.float32)
+        b = rng.standard_normal((64, 16)).astype(np.float32)
+        index.add(a)
+        index.add(b)
+        assert index.ntotal == 192
+        full = np.concatenate([a, b])
+        D, I = index.search(full[:10], 3)
+        # global insertion-order ids: row i's best match is itself
+        np.testing.assert_array_equal(I[:, 0], np.arange(10))
+        # a late-inserted row is findable under its global id
+        D2, I2 = index.search(b[:3], 1)
+        np.testing.assert_array_equal(I2[:, 0], [128, 129, 130])
+
+    def test_insert_batch_divisibility_enforced(self, mesh, rng):
+        index = ShardedDenseIndex(dim=8, capacity=64, mesh=mesh)
+        with pytest.raises(AssertionError):
+            index.add(rng.standard_normal((5, 8)).astype(np.float32))
+
+    def test_capacity_overflow(self, mesh, rng):
+        index = ShardedDenseIndex(dim=8, capacity=64, mesh=mesh)
+        index.add(rng.standard_normal((64, 8)).astype(np.float32))
+        with pytest.raises(ValueError):
+            index.add(rng.standard_normal((8, 8)).astype(np.float32))

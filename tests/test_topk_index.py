@@ -22,9 +22,10 @@ import jax.numpy as jnp
 
 
 @pytest.fixture(scope="module")
-def data(rng):
-    corpus = rng.standard_normal((1000, 64)).astype(np.float32)
-    queries = rng.standard_normal((17, 64)).astype(np.float32)
+def data():
+    r = np.random.default_rng(0)
+    corpus = r.standard_normal((1000, 64)).astype(np.float32)
+    queries = r.standard_normal((17, 64)).astype(np.float32)
     return queries, corpus
 
 
