@@ -16,35 +16,9 @@ Semantics match python-Levenshtein:
 
 from __future__ import annotations
 
-import ctypes
-import os
 from typing import List, Sequence
 
-_native = None
-
-
-def _load_native():
-    global _native
-    if _native is not None:
-        return _native
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "native", "libsss_native.so")
-    if os.path.exists(path):
-        try:
-            lib = ctypes.CDLL(path)
-            lib.lev_ratio.restype = ctypes.c_double
-            lib.lev_ratio.argtypes = [
-                ctypes.c_char_p,
-                ctypes.c_size_t,
-                ctypes.c_char_p,
-                ctypes.c_size_t,
-            ]
-            _native = lib
-            return lib
-        except OSError:
-            pass
-    _native = False
-    return False
+from sessionsimilaritysearch_tpu import native as _native_mod
 
 
 def _indel_distance(a: Sequence, b: Sequence) -> int:
@@ -71,10 +45,9 @@ def ratio(a: str, b: str) -> float:
     lensum = len(a) + len(b)
     if lensum == 0:
         return 1.0
-    lib = _load_native()
-    if lib:
-        ab, bb = a.encode("utf-8"), b.encode("utf-8")
-        return float(lib.lev_ratio(ab, len(ab), bb, len(bb)))
+    r = _native_mod.ratio(a, b)
+    if r is not None:
+        return r
     return (lensum - _indel_distance(a, b)) / lensum
 
 
@@ -86,6 +59,9 @@ def seqratio(a: List[str], b: List[str]) -> float:
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return 0.0
+    r = _native_mod.seqratio(list(a), list(b))
+    if r is not None:
+        return r
     # generalized edit distance: del/ins cost 1, sub cost 2*(1 - ratio)
     prev = [float(j) for j in range(lb + 1)]
     for i in range(1, la + 1):
@@ -118,6 +94,9 @@ def distance(a: str, b: str) -> int:
 def get_string_match(a: List[str], b: List[str]):
     """Fuzzy set match count with ratio > 0.9
     (reference: util_amazon_filtered.py:239-249)."""
+    m = _native_mod.string_match(list(a), list(b))
+    if m is not None:
+        return m
     a_match = [0] * len(a)
     b_match = [0] * len(b)
     for i, a_s in enumerate(a):

@@ -1,0 +1,152 @@
+"""ctypes bindings for the native host-side kernels (libsss_native.so).
+
+Builds lazily via ``make`` on first use if the shared object is missing;
+every entry point has a pure-Python fallback in its caller, so the package
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libsss_native.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _HERE],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib or None
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.lev_ratio.restype = ctypes.c_double
+    lib.lev_ratio.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    lib.lev_seqratio.restype = ctypes.c_double
+    lib.lev_seqratio.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t,
+    ]
+    lib.lev_string_match.restype = None
+    lib.lev_string_match.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.tokenize_batch.restype = None
+    lib.tokenize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.topk_f32.restype = None
+    lib.topk_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    _lib = lib
+    return lib
+
+
+def _as_cstrings(strings: Sequence[str]):
+    enc = [s.encode("utf-8") for s in strings]
+    arr = (ctypes.c_char_p * len(enc))(*enc)
+    lens = (ctypes.c_size_t * len(enc))(*[len(e) for e in enc])
+    return arr, lens, enc  # keep enc alive
+
+
+def ratio(a: str, b: str) -> Optional[float]:
+    lib = load()
+    if lib is None:
+        return None
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    return float(lib.lev_ratio(ab, len(ab), bb, len(bb)))
+
+
+def seqratio(a: List[str], b: List[str]) -> Optional[float]:
+    lib = load()
+    if lib is None:
+        return None
+    aa, al, ka = _as_cstrings(a)
+    ba, bl, kb = _as_cstrings(b)
+    return float(lib.lev_seqratio(aa, al, len(a), ba, bl, len(b)))
+
+
+def string_match(a: List[str], b: List[str]) -> Optional[Tuple[int, int]]:
+    lib = load()
+    if lib is None:
+        return None
+    aa, al, ka = _as_cstrings(a)
+    ba, bl, kb = _as_cstrings(b)
+    am = ctypes.c_int64()
+    bm = ctypes.c_int64()
+    lib.lev_string_match(aa, al, len(a), ba, bl, len(b),
+                         ctypes.byref(am), ctypes.byref(bm))
+    return int(am.value), int(bm.value)
+
+
+def tokenize_batch(
+    texts: Sequence[str], max_len: int, vocab_size: int
+) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    arr, lens, keep = _as_cstrings(list(texts))
+    out = np.zeros((len(texts), max_len), dtype=np.int32)
+    lib.tokenize_batch(
+        arr, lens, len(texts), max_len, vocab_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out
+
+
+def topk_oracle(
+    corpus: np.ndarray, queries: np.ndarray, k: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = load()
+    if lib is None:
+        return None
+    corpus = np.ascontiguousarray(corpus, dtype=np.float32)
+    queries = np.ascontiguousarray(queries, dtype=np.float32)
+    n, d = corpus.shape
+    nq = queries.shape[0]
+    out_idx = np.zeros((nq, k), dtype=np.int32)
+    out_val = np.zeros((nq, k), dtype=np.float32)
+    lib.topk_f32(
+        corpus.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d,
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nq, k,
+        out_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out_val, out_idx

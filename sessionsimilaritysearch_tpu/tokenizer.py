@@ -69,8 +69,18 @@ class HashTokenizer:
         return out
 
     def __call__(self, texts: Sequence[str], max_length: int):
-        """Returns dict of [len(texts), max_length] int32 arrays."""
-        input_ids = np.stack([self.encode_one(t, max_length) for t in texts])
+        """Returns dict of [len(texts), max_length] int32 arrays. Uses the
+        C++ batch tokenizer (native/levenshtein.cpp tokenize_batch) when
+        available -- this loop is the corpus-prep hot path (the reference's
+        CPU bottleneck, SURVEY.md §3.1)."""
+        from sessionsimilaritysearch_tpu import native
+
+        clean = [t if t is not None else "" for t in texts]
+        input_ids = native.tokenize_batch(clean, max_length, self.vocab_size)
+        if input_ids is None:
+            input_ids = np.stack(
+                [self.encode_one(t, max_length) for t in clean]
+            )
         attention_mask = (input_ids != PAD_ID).astype(np.int32)
         token_type_ids = np.zeros_like(input_ids)
         return {
