@@ -1,0 +1,324 @@
+"""Command-line entry points.
+
+The reference has no CLI: every workflow is a script whose behavior is
+changed by editing config.py (SURVEY.md §5). Here each workload is a
+subcommand over the same dataclass config, with a JSON config snapshot per
+run directory:
+
+    python -m sessionsimilaritysearch_tpu.cli pretrain --steps 200
+    python -m sessionsimilaritysearch_tpu.cli train-subsession --epochs 2
+    python -m sessionsimilaritysearch_tpu.cli finetune
+    python -m sessionsimilaritysearch_tpu.cli evaluate --mode model
+    python -m sessionsimilaritysearch_tpu.cli etl --out data/
+Synthetic data is generated when no dataset path is supplied (the
+reference's Amazon pickles are not public).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--savedir", default="runs/cli")
+    p.add_argument("--data", default=None, help="pickled session dataset")
+    p.add_argument("--num-sessions", type=int, default=512)
+    p.add_argument("--asin-num", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tiny", action="store_true",
+                   help="use the small test config (CPU-friendly)")
+    p.add_argument("--batch-size", type=int, default=None)
+
+
+def _config(args):
+    from sessionsimilaritysearch_tpu.config import Config, tiny_test_config
+
+    cfg = tiny_test_config() if args.tiny else Config()
+    cfg = cfg.replace(asin_num=args.asin_num, savedir=args.savedir,
+                      seed=args.seed)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+    return cfg
+
+
+def _dataset(args, cfg):
+    from sessionsimilaritysearch_tpu.data.etl import load_sessions
+    from sessionsimilaritysearch_tpu.data.synthetic import (
+        SyntheticSessionGenerator,
+    )
+
+    if args.data:
+        return load_sessions(args.data)
+    gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=cfg.seed)
+    return gen.dataset(args.num_sessions)
+
+
+def cmd_pretrain(args):
+    import jax
+
+    from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+    from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+    from sessionsimilaritysearch_tpu.training.loop import run_training, to_device
+    from sessionsimilaritysearch_tpu.training.pretrain import (
+        create_pretrain_state,
+        make_eval_step,
+        make_train_step,
+    )
+    from sessionsimilaritysearch_tpu.utils.checkpoint import CheckpointManager
+    from sessionsimilaritysearch_tpu.utils.logging import RunDir
+
+    cfg = _config(args)
+    data = _dataset(args, cfg)
+    n_valid = max(len(data) // 10, 1)
+    tok = get_tokenizer(cfg.vocab_size)
+    train_loader = SessionGraphLoader(
+        data[n_valid:], tok, cfg.dims, cfg.batch_size,
+        ignore_query=cfg.ignore_query, seed=cfg.seed,
+    )
+    valid_loader = SessionGraphLoader(
+        data[:n_valid], tok, cfg.dims, cfg.batch_size, shuffle=False,
+        ignore_query=cfg.ignore_query,
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = to_device(next(iter(valid_loader)))
+    model, state = create_pretrain_state(cfg, rng, sample)
+    rundir = RunDir(cfg.savedir, cfg, "pretrain")
+    ckpt = CheckpointManager(os.path.join(cfg.savedir, "ckpt"))
+    state, best = run_training(
+        state=state,
+        step_fn=make_train_step(model, has_view=False),
+        eval_fn=make_eval_step(model),
+        train_loader=train_loader,
+        valid_loader=valid_loader,
+        epochs=args.epochs,
+        rng=rng,
+        rundir=rundir,
+        ckpt=ckpt,
+    )
+    print(json.dumps({"best_valid_loss": best, "steps": int(state.step)}))
+
+
+def cmd_train_session(args, mode: str):
+    import jax
+
+    from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+    from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+    from sessionsimilaritysearch_tpu.training.loop import run_training, to_device
+    from sessionsimilaritysearch_tpu.training.session_trainers import (
+        create_session_state,
+        make_session_train_step,
+    )
+    from sessionsimilaritysearch_tpu.utils.checkpoint import CheckpointManager
+    from sessionsimilaritysearch_tpu.utils.logging import RunDir
+
+    cfg = _config(args)
+    data = _dataset(args, cfg)
+    n_valid = max(len(data) // 10, 1)
+    tok = get_tokenizer(cfg.vocab_size)
+    train_loader = SessionGraphLoader(
+        data[n_valid:], tok, cfg.dims, cfg.batch_size, seed=cfg.seed
+    )
+    valid_loader = SessionGraphLoader(
+        data[:n_valid], tok, cfg.dims, cfg.batch_size, shuffle=False
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = to_device(next(iter(valid_loader)))
+    model, state = create_session_state(cfg, rng, sample, mode=mode)
+    step = make_session_train_step(model)
+
+    def eval_fn(state, batch, rng):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        _, m = model.apply(variables, batch, rng, deterministic=True)
+        return m
+
+    rundir = RunDir(cfg.savedir, cfg, mode)
+    ckpt = CheckpointManager(os.path.join(cfg.savedir, "ckpt"))
+    state, best = run_training(
+        state=state, step_fn=step, eval_fn=jax.jit(eval_fn),
+        train_loader=train_loader, valid_loader=valid_loader,
+        epochs=args.epochs, rng=rng, rundir=rundir, ckpt=ckpt,
+    )
+    print(json.dumps({"best_valid_loss": best, "steps": int(state.step)}))
+
+
+def cmd_finetune(args):
+    import jax
+    import numpy as np
+
+    from sessionsimilaritysearch_tpu.data.similarity import mine_triplets
+    from sessionsimilaritysearch_tpu.evalharness.harness import EmbeddingPipeline
+    from sessionsimilaritysearch_tpu.models import build_text_session_encoder
+    from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
+    from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+    from sessionsimilaritysearch_tpu.training.finetune import (
+        build_triplet_batches,
+        create_finetune_state,
+        make_finetune_step,
+    )
+    from sessionsimilaritysearch_tpu.utils.logging import RunDir
+
+    cfg = _config(args)
+    data = _dataset(args, cfg)
+    half = len(data) // 2
+    qdata, db = data[:half], data[half:]
+    triplets = mine_triplets(qdata, db, cfg.sim_type, args.num_triplets)
+    if not triplets:
+        print(json.dumps({"error": "no triplets mined"}))
+        return
+    tok = get_tokenizer(cfg.vocab_size)
+
+    # frozen encoder = text session encoder (the QAEA fine-tune wiring);
+    # a pretrained graph encoder checkpoint can be substituted via --data
+    enc = build_text_session_encoder(cfg)
+    sample = batch_graphs([
+        sequence_to_graph(0, data[0][0], data[0][1], tok, cfg.dims)
+    ])
+    params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
+    encode_fn = jax.jit(lambda g: enc.apply(params, g))
+    pipe = EmbeddingPipeline(cfg, tok, encode_fn, batch_size=64)
+
+    model, state, tx = create_finetune_state(
+        cfg, jax.random.PRNGKey(cfg.seed), emb_dim=cfg.n_out
+    )
+    step = make_finetune_step(model, tx, cfg)
+    batches = build_triplet_batches(
+        triplets, pipe, [(q[0], list(q[0]) + list(q[1])) for q in qdata[:64]],
+        min(cfg.ft_batch_size, len(triplets)), np.random.default_rng(cfg.seed),
+    )
+    rundir = RunDir(cfg.savedir, cfg, "finetune")
+    last = {}
+    for epoch in range(args.epochs):
+        for b in batches():
+            state, last = step(state, b)
+        rundir.logger.info(f"epoch {epoch}: loss {float(last['loss']):.4f}")
+    print(json.dumps({"final_loss": float(last["loss"]),
+                      "triplets": len(triplets)}))
+
+
+def cmd_evaluate(args):
+    import jax
+
+    from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
+    from sessionsimilaritysearch_tpu.evalharness import harness
+    from sessionsimilaritysearch_tpu.models import build_text_session_encoder
+    from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+
+    cfg = _config(args)
+    data = _dataset(args, cfg)
+    n_test = max(len(data) // 10, 1)
+    test_data, corpus_data = data[:n_test], data[n_test:]
+    if args.mode in ("STAN", "SKNN"):
+        res = harness.evaluate_sparse(
+            cfg, [d[0] for d in corpus_data], test_data,
+            kind="stan" if args.mode == "STAN" else "binary", k=args.k,
+        )
+    else:
+        tok = get_tokenizer(cfg.vocab_size)
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, data[0][0], data[0][1], tok, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        res = harness.evaluate_encoder(
+            cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
+            batch_size=64,
+        )
+    out = {
+        "mode": args.mode,
+        "qps": round(res.qps, 2),
+        "search_s": round(res.search_s, 4),
+    }
+    out.update({k: round(v, 4) for k, v in (res.report or {}).items()})
+    print(json.dumps(out))
+
+
+def cmd_etl(args):
+    import numpy as np
+
+    from sessionsimilaritysearch_tpu.data import etl
+    from sessionsimilaritysearch_tpu.data.synthetic import (
+        SyntheticSessionGenerator,
+    )
+
+    cfg = _config(args)
+    os.makedirs(args.out, exist_ok=True)
+    if args.data:
+        sessions = etl.load_sessions(args.data)
+    else:
+        gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=cfg.seed)
+        sessions = [gen.session() for _ in range(args.num_sessions)]
+    etl.decompose_sessions(
+        sessions,
+        os.path.join(args.out, "actions.csv"),
+        os.path.join(args.out, "asin.csv"),
+    )
+    back, asin2id = etl.load_sessions_from_csv(
+        os.path.join(args.out, "actions.csv"),
+        os.path.join(args.out, "asin.csv"),
+    )
+    print(json.dumps({
+        "sessions": len(back),
+        "distinct_asins": len(asin2id),
+        "out": args.out,
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="sessionsimilaritysearch_tpu")
+    parser.add_argument(
+        "--platform", default=None, choices=["cpu", "tpu"],
+        help="force a JAX platform (overrides environment backends)",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pretrain", help="pretrain the flagship encoder")
+    _common(p)
+    p.add_argument("--epochs", type=int, default=1)
+
+    for mode in ("session", "subsession"):
+        p = sub.add_parser(f"train-{mode}", help=f"train the {mode} encoder")
+        _common(p)
+        p.add_argument("--epochs", type=int, default=1)
+
+    p = sub.add_parser("finetune", help="similarity fine-tune (hash heads)")
+    _common(p)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--num-triplets", type=int, default=64)
+
+    p = sub.add_parser("evaluate", help="end-to-end retrieval evaluation")
+    _common(p)
+    p.add_argument("--mode", default="model",
+                   choices=["model", "STAN", "SKNN"])
+    p.add_argument("--k", type=int, default=20)
+
+    p = sub.add_parser("etl", help="sessions <-> CSV round trip")
+    _common(p)
+    p.add_argument("--out", default="data_out")
+
+    args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.cmd == "pretrain":
+        cmd_pretrain(args)
+    elif args.cmd == "train-session":
+        cmd_train_session(args, "session")
+    elif args.cmd == "train-subsession":
+        cmd_train_session(args, "subsession")
+    elif args.cmd == "finetune":
+        cmd_finetune(args)
+    elif args.cmd == "evaluate":
+        cmd_evaluate(args)
+    elif args.cmd == "etl":
+        cmd_etl(args)
+
+
+if __name__ == "__main__":
+    main()

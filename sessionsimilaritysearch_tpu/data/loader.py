@@ -1,0 +1,158 @@
+"""Batched session-graph loader.
+
+Replaces the reference's PyG DataLoader + collation stack (DataLoader.py:
+Collater/MyCollater/MyDataLoader + pin_memory monkeypatch). With fixed-shape
+padded graphs, collation is a stack (data/graph.py:batch_graphs); what
+remains is shuffling, static batch shapes (pad-final-batch so one jit
+covers every step), tuple batches for triplet data (MyCollater's role), and
+a background-thread prefetcher that overlaps host graph-building with
+device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sessionsimilaritysearch_tpu.config import GraphDims
+from sessionsimilaritysearch_tpu.data.graph import (
+    SessionGraph,
+    batch_graphs,
+    sequence_to_graph,
+)
+
+
+class SessionGraphLoader:
+    """Iterates padded SessionGraph batches from raw (prefix, future) data.
+
+    Graphs are built lazily per epoch (supporting per-epoch augmentation
+    transforms like the reference's random_exchange_order) or precomputed
+    once when ``transform`` is None and ``cache=True``.
+    """
+
+    def __init__(
+        self,
+        data: Sequence,
+        tokenizer,
+        dims: GraphDims,
+        batch_size: int,
+        shuffle: bool = True,
+        ignore_query: bool = False,
+        transform: Optional[Callable] = None,
+        drop_last: bool = False,
+        cache: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.data = list(data)
+        self.tokenizer = tokenizer
+        self.dims = dims
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.ignore_query = ignore_query
+        self.transform = transform
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self._cache: Optional[List[SessionGraph]] = None
+        if cache and transform is None:
+            self._cache = [self._build(i) for i in range(len(self.data))]
+
+    def _build(self, i: int) -> SessionGraph:
+        seq, tar = self.data[i]
+        if self.transform is not None:
+            seq, tar = self.transform((seq, tar), self.rng)
+        return sequence_to_graph(
+            i, seq, tar, self.tokenizer, self.dims,
+            ignore_query=self.ignore_query,
+        )
+
+    def __len__(self) -> int:
+        n = len(self.data)
+        full, rem = divmod(n, self.batch_size)
+        return full if (self.drop_last or rem == 0) else full + 1
+
+    def _batches(self) -> Iterator[SessionGraph]:
+        order = (
+            self.rng.permutation(len(self.data))
+            if self.shuffle
+            else np.arange(len(self.data))
+        )
+        bs = self.batch_size
+        for s in range(0, len(order), bs):
+            sel = order[s : s + bs]
+            if len(sel) < bs:
+                if self.drop_last:
+                    return
+                # pad with wrap-around samples: batch shape stays static so
+                # the train step never recompiles
+                extra = order[: bs - len(sel)]
+                sel = np.concatenate([sel, extra])
+            if self._cache is not None:
+                graphs = [self._cache[i] for i in sel]
+            else:
+                graphs = [self._build(int(i)) for i in sel]
+            yield batch_graphs(graphs)
+
+    def __iter__(self) -> Iterator[SessionGraph]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+class TupleLoader:
+    """Element-wise collation of tuple datasets (MyCollater's role,
+    DataLoader.py:42-54): each item is a tuple whose graph elements batch
+    with ``batch_graphs`` and whose scalars stack."""
+
+    def __init__(self, items: Sequence[tuple], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.items = list(items)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.items) // self.batch_size
+
+    def __iter__(self):
+        order = (
+            self.rng.permutation(len(self.items))
+            if self.shuffle
+            else np.arange(len(self.items))
+        )
+        bs = self.batch_size
+        for s in range(0, len(order) - bs + 1, bs):
+            group = [self.items[i] for i in order[s : s + bs]]
+            out = []
+            for elems in zip(*group):
+                if isinstance(elems[0], SessionGraph):
+                    out.append(batch_graphs(elems))
+                else:
+                    out.append(np.asarray(elems))
+            yield tuple(out)

@@ -1,0 +1,109 @@
+"""Generic host training loop.
+
+Factored from the per-driver epoch loops of the reference (e.g.
+pretrain_filtered_amazon.py:353-614, train_subsession_embedding.py:437-466):
+iterate batches -> jitted step -> periodic validation -> keep the
+best-valid-loss checkpoint -- plus what upstream lacks: restore-on-start
+resume and structured metric logging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sessionsimilaritysearch_tpu.utils.checkpoint import (
+    CheckpointManager,
+    state_to_tree,
+    tree_to_state,
+)
+from sessionsimilaritysearch_tpu.utils.logging import MetricLogger, RunDir
+
+
+def to_device(batch):
+    return jax.tree.map(jnp.asarray, batch)
+
+
+def run_training(
+    *,
+    state,
+    step_fn: Callable,
+    train_loader: Iterable,
+    epochs: int,
+    rng,
+    eval_fn: Optional[Callable] = None,
+    valid_loader: Optional[Iterable] = None,
+    rundir: Optional[RunDir] = None,
+    ckpt: Optional[CheckpointManager] = None,
+    resume: bool = True,
+    log_every: int = 50,
+    valid_metric: str = "loss",
+):
+    """Returns (final_state, best_valid_loss).
+
+    ``step_fn(state, batch, rng) -> (state, metrics)``;
+    ``eval_fn(state, batch, rng) -> metrics``.
+    """
+    metrics_log = None
+    if rundir is not None:
+        metrics_log = MetricLogger(rundir.file("metrics.jsonl"), rundir.logger)
+
+    if ckpt is not None and resume and ckpt.has("latest"):
+        tree = ckpt.restore("latest", state_to_tree(state))
+        state = tree_to_state(state, tree)
+        if rundir:
+            rundir.logger.info(f"resumed from step {int(state.step)}")
+
+    best_valid = float("inf")
+    step_count = int(getattr(state, "step", 0))
+    for epoch in range(epochs):
+        epoch_losses = []
+        t0 = time.time()
+        for batch in train_loader:
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, to_device(batch), sub)
+            step_count += 1
+            loss = float(m["loss"])
+            epoch_losses.append(loss)
+            if metrics_log and step_count % log_every == 0:
+                metrics_log.log(step_count, **{k: v for k, v in m.items()})
+
+        valid_loss = None
+        if eval_fn is not None and valid_loader is not None:
+            vals: Dict[str, list] = {}
+            for batch in valid_loader:
+                rng, sub = jax.random.split(rng)
+                vm = eval_fn(state, to_device(batch), sub)
+                for k, v in vm.items():
+                    vals.setdefault(k, []).append(float(v))
+            valid_loss = float(np.mean(vals.get(valid_metric, [np.inf])))
+            if metrics_log:
+                metrics_log.log(
+                    step_count,
+                    epoch=epoch,
+                    **{f"valid_{k}": np.mean(v) for k, v in vals.items()},
+                )
+            if valid_loss < best_valid:
+                best_valid = valid_loss
+                if ckpt is not None:
+                    ckpt.save("best", state_to_tree(state))
+
+        if ckpt is not None:
+            ckpt.save("latest", state_to_tree(state))
+        if rundir:
+            rundir.logger.info(
+                "epoch %d: train %.4f%s (%.1fs)"
+                % (
+                    epoch,
+                    float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+                    f", valid {valid_loss:.4f}" if valid_loss is not None else "",
+                    time.time() - t0,
+                )
+            )
+    if metrics_log:
+        metrics_log.close()
+    return state, best_valid

@@ -1,0 +1,235 @@
+"""Infrastructure tests: loader, ETL round-trip, checkpoint/resume,
+logging, profiling, training loop."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sessionsimilaritysearch_tpu.config import tiny_test_config
+from sessionsimilaritysearch_tpu.data import etl
+from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader, TupleLoader
+from sessionsimilaritysearch_tpu.data.graph import sequence_to_graph
+from sessionsimilaritysearch_tpu.utils.checkpoint import (
+    CheckpointManager,
+    state_to_tree,
+    tree_to_state,
+)
+from sessionsimilaritysearch_tpu.utils.logging import (
+    MetricLogger,
+    RunDir,
+    read_metrics,
+)
+from sessionsimilaritysearch_tpu.utils.profiling import PhaseTimer
+
+
+class TestLoader:
+    def test_batches_static_shape(self, gen, tokenizer, tiny_cfg):
+        data = gen.dataset(10)
+        loader = SessionGraphLoader(
+            data, tokenizer, tiny_cfg.dims, batch_size=4
+        )
+        batches = list(loader)
+        assert len(batches) == 3  # 10 -> 4,4,(2 padded to 4)
+        for b in batches:
+            assert b.query_input_ids.shape[0] == 4
+
+    def test_drop_last(self, gen, tokenizer, tiny_cfg):
+        loader = SessionGraphLoader(
+            gen.dataset(10), tokenizer, tiny_cfg.dims, batch_size=4,
+            drop_last=True,
+        )
+        assert len(list(loader)) == 2
+
+    def test_shuffle_determinism(self, gen, tokenizer, tiny_cfg):
+        data = gen.dataset(8)
+        l1 = SessionGraphLoader(data, tokenizer, tiny_cfg.dims, 4, seed=7)
+        l2 = SessionGraphLoader(data, tokenizer, tiny_cfg.dims, 4, seed=7)
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        np.testing.assert_array_equal(b1.idx, b2.idx)
+
+    def test_transform_applied(self, gen, tokenizer, tiny_cfg):
+        data = gen.dataset(4)
+
+        def swap(datum, rng):
+            seq, tar = datum
+            return list(reversed(seq)), tar
+
+        loader = SessionGraphLoader(
+            data, tokenizer, tiny_cfg.dims, 4, transform=swap, shuffle=False,
+            prefetch=0,
+        )
+        plain = SessionGraphLoader(
+            data, tokenizer, tiny_cfg.dims, 4, shuffle=False, prefetch=0
+        )
+        b_t, b_p = next(iter(loader)), next(iter(plain))
+        assert not np.array_equal(b_t.query_pos, b_p.query_pos)
+
+    def test_prefetch_propagates_errors(self, tokenizer, tiny_cfg):
+        bad = [("not", "a", "session")]
+        loader = SessionGraphLoader(
+            bad, tokenizer, tiny_cfg.dims, 1, cache=False, prefetch=2
+        )
+        with pytest.raises(Exception):
+            list(loader)
+
+    def test_tuple_loader(self, gen, tokenizer, tiny_cfg):
+        g = sequence_to_graph(0, *gen.datum(), tokenizer, tiny_cfg.dims)
+        items = [(g, g, 0.5) for _ in range(6)]
+        tl = TupleLoader(items, batch_size=3)
+        batch = next(iter(tl))
+        assert batch[0].query_input_ids.shape[0] == 3
+        np.testing.assert_allclose(batch[2], [0.5] * 3)
+
+
+class TestETL:
+    def test_roundtrip(self, gen, tmp_path):
+        sessions = [gen.session() for _ in range(5)]
+        a, c = str(tmp_path / "actions.csv"), str(tmp_path / "asin.csv")
+        etl.decompose_sessions(sessions, a, c)
+        back, asin2id = etl.load_sessions_from_csv(a, c)
+        assert len(back) == 5
+        for orig, rec in zip(sessions, back):
+            assert len(orig) == len(rec)
+            for ao, ar in zip(orig, rec):
+                assert ao.action_type == ar.action_type
+                if ao.action_type != "s":
+                    assert ao.title == ar.title
+                    assert ao.product_type == ar.product_type
+                else:
+                    assert ao.keyword == ar.keyword
+        assert len(asin2id) >= 1
+
+    def test_split_prefix_future(self, gen):
+        rng = np.random.default_rng(0)
+        sessions = [gen.session() for _ in range(4)]
+        pairs = etl.split_prefix_future(sessions, rng)
+        for (pre, fut), orig in zip(pairs, sessions):
+            assert len(pre) + len(fut) == len(orig)
+            assert len(pre) >= 1
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        tree = {
+            "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "nested": {"b": np.asarray(3)},
+        }
+        cm = CheckpointManager(str(tmp_path / "ck"))
+        cm.save("latest", tree)
+        assert cm.has("latest")
+        back = cm.restore("latest", tree)
+        np.testing.assert_array_equal(back["a"], tree["a"])
+        assert int(np.asarray(back["nested"]["b"])) == 3
+
+    def test_train_state_roundtrip(self, tmp_path, gen, tokenizer):
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_train_step,
+        )
+
+        cfg = tiny_test_config()
+        graphs = [
+            sequence_to_graph(i, *d, tokenizer, cfg.dims)
+            for i, d in enumerate(gen.dataset(4))
+        ]
+        batch = jax.tree.map(jnp.asarray, batch_graphs(graphs))
+        rng = jax.random.PRNGKey(0)
+        model, state = create_pretrain_state(cfg, rng, batch)
+        step = make_train_step(model, has_view=False)
+        state, _ = step(state, batch, rng)
+
+        cm = CheckpointManager(str(tmp_path / "ck"))
+        cm.save("latest", state_to_tree(state))
+        model2, state2 = create_pretrain_state(cfg, rng, batch)
+        restored = tree_to_state(
+            state2, cm.restore("latest", state_to_tree(state2))
+        )
+        assert int(restored.step) == 1
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(restored.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # restored state can keep training
+        restored, m = step(restored, batch, rng)
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestLoggingProfiling:
+    def test_metric_logger(self, tmp_path):
+        p = str(tmp_path / "m.jsonl")
+        ml = MetricLogger(p)
+        ml.log(1, loss=0.5)
+        ml.log(2, loss=0.25, recall=0.9)
+        ml.close()
+        rows = read_metrics(p)
+        assert rows[0]["loss"] == 0.5 and rows[1]["recall"] == 0.9
+
+    def test_rundir_snapshot(self, tmp_path, tiny_cfg):
+        rd = RunDir(str(tmp_path / "run"), tiny_cfg)
+        assert os.path.exists(rd.file("config.json"))
+        with open(rd.file("config.json")) as f:
+            assert json.load(f)["asin_num"] == tiny_cfg.asin_num
+
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        out = t.timed("op", lambda: jnp.ones(4) * 2)
+        assert float(out[0]) == 2.0
+        s = t.summary()
+        assert s["op"]["count"] == 1 and s["op"]["total_s"] >= 0
+
+
+class TestTrainingLoop:
+    def test_loop_with_resume(self, tmp_path, gen, tokenizer):
+        from sessionsimilaritysearch_tpu.training.loop import run_training
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_eval_step,
+            make_train_step,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+
+        cfg = tiny_test_config()
+        data = gen.dataset(8)
+        loader = SessionGraphLoader(
+            data, tokenizer, cfg.dims, 4, seed=0, prefetch=0
+        )
+        rng = jax.random.PRNGKey(0)
+        sample = jax.tree.map(
+            jnp.asarray,
+            batch_graphs([
+                sequence_to_graph(i, *d, tokenizer, cfg.dims)
+                for i, d in enumerate(data[:4])
+            ]),
+        )
+        model, state = create_pretrain_state(cfg, rng, sample)
+        ckpt = CheckpointManager(str(tmp_path / "ck"))
+        rd = RunDir(str(tmp_path / "run"), cfg)
+        state, best = run_training(
+            state=state,
+            step_fn=make_train_step(model, has_view=False),
+            eval_fn=make_eval_step(model),
+            train_loader=loader,
+            valid_loader=loader,
+            epochs=1,
+            rng=rng,
+            rundir=rd,
+            ckpt=ckpt,
+        )
+        assert int(state.step) == 2
+        assert np.isfinite(best)
+        # resume continues from the saved step
+        model2, fresh = create_pretrain_state(cfg, rng, sample)
+        resumed, _ = run_training(
+            state=fresh,
+            step_fn=make_train_step(model2, has_view=False),
+            train_loader=loader,
+            epochs=1,
+            rng=rng,
+            ckpt=ckpt,
+            resume=True,
+        )
+        assert int(resumed.step) == 4
