@@ -22,6 +22,15 @@ from sessionsimilaritysearch_tpu.models.transformer import (
 )
 
 
+class AveragePooling(nn.Module):
+    """Mean over one axis (reference: model/NodeEmbedding.py:51-60)."""
+
+    axis: int = 1
+
+    def __call__(self, x):
+        return jnp.mean(x, axis=self.axis)
+
+
 class NodeTextTransformer(nn.Module):
     """From-scratch text-to-node-vector encoder
     (reference: model/NodeEmbedding.py:62-98): token embedding * sqrt(d) +

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -32,12 +33,13 @@ def masked_max(x, mask, axis=1):
 
 
 class GraphPooling(nn.Module):
-    """mean/add/max pool -> dropout -> Linear
+    """mean/add/max/sort pool -> dropout -> Linear
     (reference: model/gnn.py:123-143)."""
 
     pooling_key: str
     num_out: int
     dropout: float = 0.0
+    sort_k: int = 4  # retained nodes for 'sort' (global_sort_pool's k)
 
     @nn.compact
     def __call__(self, x, mask, graph=None, deterministic: bool = True):
@@ -47,6 +49,14 @@ class GraphPooling(nn.Module):
             pooled = masked_sum(x, mask)
         elif self.pooling_key == "max":
             pooled = masked_max(x, mask)
+        elif self.pooling_key == "sort":
+            # global_sort_pool: sort nodes by their last feature channel,
+            # keep the top sort_k, concatenate (padded nodes sort last)
+            key = jnp.where(mask > 0, x[..., -1], jnp.finfo(x.dtype).min)
+            _, order = jax.lax.top_k(key, min(self.sort_k, x.shape[1]))
+            picked = jnp.take_along_axis(x, order[..., None], axis=1)
+            picked = picked * jnp.take_along_axis(mask, order, axis=1)[..., None]
+            pooled = picked.reshape(x.shape[0], -1)
         else:
             raise ValueError(f"unrecognized pooling key: {self.pooling_key}")
         pooled = nn.Dropout(self.dropout)(pooled, deterministic=deterministic)

@@ -70,6 +70,7 @@ class SessionEmbeddingModel(nn.Module):
 
     cfg: Config
     mode: str = "subsession"  # 'subsession' | 'session'
+    query_loss_style: str = "autoregressive"  # or 'mlm_electra'
 
     def setup(self):
         cfg = self.cfg
@@ -88,6 +89,18 @@ class SessionEmbeddingModel(nn.Module):
             dropout=cfg.qh_dropout,
             name="query_decoder",
         )
+        if self.query_loss_style == "mlm_electra":
+            # replaced-token-detection decoder (2-way logits per position,
+            # train_subsession_embedding.py:232-241)
+            self.electra_decoder = TransformerDecoderHead(
+                ninp=cfg.emb_len,
+                nout=2,
+                nhead=cfg.qh_nhead,
+                nhid=cfg.qh_nhid,
+                nlayers=cfg.qh_nlayers,
+                dropout=cfg.qh_dropout,
+                name="electra_decoder",
+            )
         self.memory_proj = nn.Dense(cfg.emb_len, name="memory_proj")
 
     def encode(self, graph: SessionGraph, deterministic: bool = True):
@@ -137,23 +150,47 @@ class SessionEmbeddingModel(nn.Module):
             r_neg, rep, asin_table, tgt_y, tgt_mask, cfg.neg_sample_count
         )
 
-        # autoregressive query generation over the graph-embedding memory
+        # query generation over the graph-embedding memory
         y, y_mask = self._query_target(graph)
         token_table = self.encoder.query_node_embedder.variables["params"][
             "embedding"
         ]["embedding"]
-        tgt_emb = token_table[y]
         memory = self.memory_proj(embedding)[:, None, :]
-        dec_out = self.query_decoder(
-            tgt_emb,
-            memory,
-            tgt_mask=causal_mask(y.shape[1]),
-            tgt_key_padding_mask=y_mask == 0,
-            deterministic=deterministic,
-        )
-        query_loss = losses.autoregressive_query_loss(
-            r_tok, dec_out, y, y_mask, token_table, cfg.neg_k
-        )
+        if self.query_loss_style == "mlm_electra":
+            # MLM stage: decode masked target, logits tied to the token
+            # embedding table (train_subsession_embedding.py:205-230)
+            r_tok, r_mask = jax.random.split(r_tok)
+            masked_y, pred_target = losses.make_mlm_target(
+                r_mask, y, y_mask, max(cfg.mask_token_ratio, 0.05), 4
+            )
+            dec_out = self.query_decoder(
+                token_table[masked_y],
+                memory,
+                tgt_key_padding_mask=(pred_target | (y_mask == 0)),
+                deterministic=deterministic,
+            )
+            logits = dec_out @ token_table.T
+            mlm, output = losses.next_query_mlm_loss(logits, y, pred_target)
+            # ELECTRA stage over the argmax-infilled sequence (:232-241)
+            logits2 = self.electra_decoder(
+                token_table[output],
+                memory,
+                tgt_key_padding_mask=y_mask == 0,
+                deterministic=deterministic,
+            )
+            electra = losses.next_query_electra_loss(logits2, output, y, y_mask)
+            query_loss = mlm + electra
+        else:
+            dec_out = self.query_decoder(
+                token_table[y],
+                memory,
+                tgt_mask=causal_mask(y.shape[1]),
+                tgt_key_padding_mask=y_mask == 0,
+                deterministic=deterministic,
+            )
+            query_loss = losses.autoregressive_query_loss(
+                r_tok, dec_out, y, y_mask, token_table, cfg.neg_k
+            )
 
         loss = cfg.ph_w * product_loss + cfg.qh_w * query_loss
         if cfg.ph_w == 0 and cfg.qh_w == 0:
@@ -191,11 +228,15 @@ class JointModel(nn.Module):
     cfg: Config
 
     def setup(self):
+        # both query objectives in MLM+ELECTRA form, per the joint trainer
+        # (train_session_subsession_embedding.py:256-294)
         self.session_model = SessionEmbeddingModel(
-            self.cfg, mode="session", name="session_model"
+            self.cfg, mode="session", query_loss_style="mlm_electra",
+            name="session_model",
         )
         self.subsession_model = SessionEmbeddingModel(
-            self.cfg, mode="subsession", name="subsession_model"
+            self.cfg, mode="subsession", query_loss_style="mlm_electra",
+            name="subsession_model",
         )
 
     def __call__(

@@ -85,3 +85,49 @@ class TestSessionTrainers:
             variables["batch_stats"] = state.batch_stats
         emb = model.apply(variables, subsession_b, method=model.encode)
         assert emb.shape == (8, 2 * cfg.gnn_pooling_out)
+
+
+class TestQueryLossStyles:
+    def test_mlm_electra_style(self, batches):
+        from sessionsimilaritysearch_tpu.training.session_trainers import (
+            SessionEmbeddingModel,
+        )
+        from sessionsimilaritysearch_tpu.training.train_state import (
+            adam_with_clip,
+            create_train_state,
+        )
+
+        cfg, _, subsession_b = batches
+        rng = jax.random.PRNGKey(4)
+        model = SessionEmbeddingModel(
+            cfg, mode="subsession", query_loss_style="mlm_electra"
+        )
+        state = create_train_state(
+            model, rng, (subsession_b, rng), adam_with_clip(cfg.lr),
+            init_kwargs={"deterministic": True},
+        )
+        step = make_session_train_step(model)
+        state, m = step(state, subsession_b, rng)
+        assert np.isfinite(float(m["query_loss"]))
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestAugmentations:
+    def test_random_exchange_order(self, gen):
+        from sessionsimilaritysearch_tpu.data.augment import (
+            random_drop_action,
+            random_exchange_order,
+            random_mask_product,
+            random_perturb_product,
+        )
+
+        rng = np.random.default_rng(0)
+        seq, tar = gen.datum()
+        s2, t2 = random_exchange_order((seq, tar), rng)
+        assert len(s2) == len(seq) and sorted(map(str, s2)) == sorted(map(str, seq))
+        s3, _ = random_drop_action((seq, tar), rng)
+        assert len(s3) == max(len(seq) - 1, 1)
+        s4, _ = random_mask_product((seq, tar), rng)
+        assert len(s4) == len(seq)
+        s5, _ = random_perturb_product((seq, tar), rng, 100)
+        assert len(s5) == len(seq)
