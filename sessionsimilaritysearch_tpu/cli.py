@@ -84,21 +84,46 @@ def cmd_pretrain(args):
     )
     rng = jax.random.PRNGKey(cfg.seed)
     sample = to_device(next(iter(valid_loader)))
+    use_view = cfg.ctv_w > 0 or args.contrastive
+    if use_view and cfg.ctv_w == 0:
+        cfg = cfg.replace(ctv_w=0.1)
     model, state = create_pretrain_state(cfg, rng, sample)
+    step = make_train_step(model, has_view=use_view)
+    if use_view:
+        from sessionsimilaritysearch_tpu.data.augment import (
+            random_exchange_order,
+        )
+        from sessionsimilaritysearch_tpu.data.loader import (
+            ContrastiveViewLoader,
+        )
+
+        train_loader = ContrastiveViewLoader(
+            train_loader, random_exchange_order, seed=cfg.seed
+        )
+
+        base_step = step
+
+        def step(state, pair, rng):  # adapt (batch, view) tuples
+            batch, view = pair
+            return base_step(state, batch, rng, view)
+
     rundir = RunDir(cfg.savedir, cfg, "pretrain")
     ckpt = CheckpointManager(os.path.join(cfg.savedir, "ckpt"))
     state, best = run_training(
         state=state,
-        step_fn=make_train_step(model, has_view=False),
-        eval_fn=make_eval_step(model),
+        step_fn=step,
+        eval_fn=None if use_view else make_eval_step(model),
         train_loader=train_loader,
-        valid_loader=valid_loader,
+        valid_loader=None if use_view else valid_loader,
         epochs=args.epochs,
         rng=rng,
         rundir=rundir,
         ckpt=ckpt,
     )
-    print(json.dumps({"best_valid_loss": best, "steps": int(state.step)}))
+    print(json.dumps({
+        "best_valid_loss": best if best != float("inf") else None,
+        "steps": int(state.step),
+    }))
 
 
 def cmd_train_session(args, mode: str):
@@ -143,7 +168,10 @@ def cmd_train_session(args, mode: str):
         train_loader=train_loader, valid_loader=valid_loader,
         epochs=args.epochs, rng=rng, rundir=rundir, ckpt=ckpt,
     )
-    print(json.dumps({"best_valid_loss": best, "steps": int(state.step)}))
+    print(json.dumps({
+        "best_valid_loss": best if best != float("inf") else None,
+        "steps": int(state.step),
+    }))
 
 
 def cmd_finetune(args):
@@ -280,6 +308,9 @@ def main(argv=None):
     p = sub.add_parser("pretrain", help="pretrain the flagship encoder")
     _common(p)
     p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--contrastive", action="store_true",
+                   help="add the contrastive view objective "
+                        "(random_exchange_order augmentation)")
 
     for mode in ("session", "subsession"):
         p = sub.add_parser(f"train-{mode}", help=f"train the {mode} encoder")

@@ -125,6 +125,37 @@ class SessionGraphLoader:
             yield item
 
 
+class ContrastiveViewLoader:
+    """Yields (batch, augmented_view_batch) pairs for contrastive
+    pretraining -- the reference's second-view construction
+    (pretrain_filtered_amazon.py:460-463 with random_exchange_order)."""
+
+    def __init__(self, base: SessionGraphLoader, view_transform: Callable,
+                 seed: int = 0):
+        self.base = base
+        self.view_transform = view_transform
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __iter__(self):
+        # regenerate the same index order as the base loader by sharing it:
+        # iterate base batches and rebuild the view from the graphs' idx
+        for batch in self.base:
+            idxs = np.asarray(batch.idx).tolist()
+            view_graphs = []
+            for i in idxs:
+                seq, tar = self.view_transform(self.base.data[int(i)], self.rng)
+                view_graphs.append(
+                    sequence_to_graph(
+                        int(i), seq, tar, self.base.tokenizer, self.base.dims,
+                        ignore_query=self.base.ignore_query,
+                    )
+                )
+            yield batch, batch_graphs(view_graphs)
+
+
 class TupleLoader:
     """Element-wise collation of tuple datasets (MyCollater's role,
     DataLoader.py:42-54): each item is a tuple whose graph elements batch

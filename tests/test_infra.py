@@ -233,3 +233,26 @@ class TestTrainingLoop:
             resume=True,
         )
         assert int(resumed.step) == 4
+
+
+class TestContrastiveViewLoader:
+    def test_pairs(self, gen, tokenizer, tiny_cfg):
+        from sessionsimilaritysearch_tpu.data.augment import (
+            random_exchange_order,
+        )
+        from sessionsimilaritysearch_tpu.data.loader import (
+            ContrastiveViewLoader,
+            SessionGraphLoader,
+        )
+
+        base = SessionGraphLoader(
+            gen.dataset(8), tokenizer, tiny_cfg.dims, 4, seed=1, prefetch=0
+        )
+        cv = ContrastiveViewLoader(base, random_exchange_order, seed=2)
+        batch, view = next(iter(cv))
+        np.testing.assert_array_equal(batch.idx, view.idx)  # same sessions
+        assert batch.query_input_ids.shape == view.query_input_ids.shape
+        # views differ structurally for at least one session
+        assert not np.array_equal(batch.adj_pp, view.adj_pp) or not np.array_equal(
+            batch.query_pos, view.query_pos
+        )
