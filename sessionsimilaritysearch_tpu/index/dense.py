@@ -47,6 +47,8 @@ class DenseIndex:
         metric: str = "cos",
         dtype=jnp.float32,
         chunk_size: int = 65536,
+        mode: str = "exact",
+        score_dtype=jnp.float32,
     ):
         assert metric in ("cos", "ip", "l2")
         self.dim = dim
@@ -54,6 +56,8 @@ class DenseIndex:
         self.metric = metric
         self.dtype = jnp.dtype(dtype)
         self.chunk_size = chunk_size
+        self.mode = mode
+        self.score_dtype = score_dtype
         self._buf = jnp.zeros((capacity, dim), dtype=self.dtype)
         self.size = 0
 
@@ -90,6 +94,8 @@ class DenseIndex:
             chunk_size=self.chunk_size,
             metric=metric,
             valid_count=jnp.asarray(self.size, jnp.int32),
+            mode=self.mode,
+            score_dtype=self.score_dtype,
         )
         vals, idx = np.asarray(vals), np.asarray(idx)
         if self.metric == "l2":

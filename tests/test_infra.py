@@ -245,8 +245,13 @@ class TestContrastiveViewLoader:
             SessionGraphLoader,
         )
 
+        from sessionsimilaritysearch_tpu.data.synthetic import (
+            SyntheticSessionGenerator,
+        )
+
+        own = SyntheticSessionGenerator(asin_num=tiny_cfg.asin_num, seed=13)
         base = SessionGraphLoader(
-            gen.dataset(8), tokenizer, tiny_cfg.dims, 4, seed=1, prefetch=0
+            own.dataset(8), tokenizer, tiny_cfg.dims, 4, seed=1, prefetch=0
         )
         cv = ContrastiveViewLoader(base, random_exchange_order, seed=2)
         batch, view = next(iter(cv))

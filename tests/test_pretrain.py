@@ -19,9 +19,16 @@ from sessionsimilaritysearch_tpu.training.pretrain import (
 
 
 @pytest.fixture(scope="module")
-def setup(gen, tokenizer):
+def setup(tokenizer):
+    from sessionsimilaritysearch_tpu.data.synthetic import (
+        SyntheticSessionGenerator,
+    )
+
     cfg = tiny_test_config()
-    data = gen.dataset(16)
+    # own generator: the shared session-scoped ``gen`` is stateful, which
+    # would make this module's data (and the loss trajectory asserted
+    # below) depend on test execution order
+    data = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=11).dataset(16)
     graphs = [
         sequence_to_graph(i, s, t, tokenizer, cfg.dims)
         for i, (s, t) in enumerate(data)
@@ -48,10 +55,12 @@ class TestPretrainStep:
     def test_loss_decreases(self, setup):
         cfg, model, state, batch = setup
         step = make_train_step(model, has_view=False)
-        rng = jax.random.PRNGKey(2)
+        # fixed rng: the same sampled negatives each step make the
+        # objective deterministic, so the decrease assertion is not at the
+        # mercy of negative-sampling noise
+        sub = jax.random.PRNGKey(2)
         first = None
         for i in range(8):
-            rng, sub = jax.random.split(rng)
             state, metrics = step(state, batch, sub)
             if first is None:
                 first = float(metrics["next_product_loss"])

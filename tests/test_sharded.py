@@ -56,8 +56,10 @@ class TestShardedDenseIndex:
         np.testing.assert_allclose(D, ovals, rtol=1e-4)
 
     def test_streaming_insert_preserves_global_ids(self, mesh, rng):
+        # cosine: self-retrieval is guaranteed top-1 (raw IP is not -- a
+        # longer aligned vector can outscore the query itself)
         index = ShardedDenseIndex(dim=16, capacity=512, mesh=mesh,
-                                  metric="ip", chunk_size=64)
+                                  metric="cos", chunk_size=64)
         a = rng.standard_normal((128, 16)).astype(np.float32)
         b = rng.standard_normal((64, 16)).astype(np.float32)
         index.add(a)
