@@ -7,6 +7,7 @@ from sessionsimilaritysearch_tpu.models.gnn import (  # noqa: F401
     HGT,
     DenseGATConv,
     DenseGatedGraphConv,
+    DenseGCNConv,
     DenseSAGEConv,
     HeteroGGNN,
     HeteroSAGE,

@@ -125,6 +125,25 @@ class DenseSAGEConv(nn.Module):
         )(x_dst)
 
 
+class DenseGCNConv(nn.Module):
+    """Bipartite GCN conv with symmetric degree normalization
+    (the 'GCN' conv_key of the reference's GNN factory, model/gnn.py:104-105):
+    out_dst = sum_src A[s,d] / sqrt(deg_s * deg_d) * (W x_src) + b."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x_src, x_dst, adj):
+        a = (adj > 0).astype(x_src.dtype)
+        deg_s = jnp.clip(jnp.sum(a, axis=2), 1.0, None)  # out-degree [B, S]
+        deg_d = jnp.clip(jnp.sum(a, axis=1), 1.0, None)  # in-degree  [B, D]
+        norm = a / jnp.sqrt(deg_s[:, :, None] * deg_d[:, None, :])
+        h = nn.Dense(self.out_channels, use_bias=False, name="lin")(x_src)
+        out = jnp.einsum("bsd,bsf->bdf", norm, h)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return out + bias
+
+
 def _adj_dict(graph) -> Dict[str, jnp.ndarray]:
     """Dense adjacency per edge type from a batched SessionGraph."""
     return {
@@ -241,11 +260,22 @@ class HGT(nn.Module):
 
 
 class HeteroSAGE(nn.Module):
-    """3-layer SAGE stack lifted to hetero with sum aggregation
-    (reference: model/gnn.py:83-121 ``GNN`` + ``to_hetero``)."""
+    """3-layer conv stack lifted to hetero with sum aggregation
+    (reference: model/gnn.py:83-121 ``GNN`` + ``to_hetero``). ``conv_key``
+    selects SAGE / GCN / GAT per the reference factory's choices."""
 
     hidden_dim: int
     out_dim: int
+    conv_key: str = "SAGE"  # 'SAGE' | 'GCN' | 'GAT'
+
+    def _conv(self, d, name):
+        if self.conv_key == "SAGE":
+            return DenseSAGEConv(d, name=name)
+        if self.conv_key == "GCN":
+            return DenseGCNConv(d, name=name)
+        if self.conv_key == "GAT":
+            return DenseGATConv(d, name=name)
+        raise ValueError("ConvKey can only be GAT, GCN or SAGE.")
 
     @nn.compact
     def __call__(self, x_dict, graph, add_input_feat: bool = False):
@@ -253,12 +283,12 @@ class HeteroSAGE(nn.Module):
         dims = [self.hidden_dim, self.hidden_dim, self.out_dim]
         cur = x_dict
         for i, d in enumerate(dims):
-            p_new = DenseSAGEConv(d, name=f"l{i}_qp")(
+            p_new = self._conv(d, f"l{i}_qp")(
                 cur["query"], cur["product"], adj["qp"]
-            ) + DenseSAGEConv(d, name=f"l{i}_pp")(
+            ) + self._conv(d, f"l{i}_pp")(
                 cur["product"], cur["product"], adj["pp"]
             )
-            q_new = DenseSAGEConv(d, name=f"l{i}_pq")(
+            q_new = self._conv(d, f"l{i}_pq")(
                 cur["product"], cur["query"], adj["pq"]
             )
             cur = {"query": nn.relu(q_new), "product": nn.relu(p_new)}

@@ -371,3 +371,41 @@ class TestEncoders:
         )
         out2 = enc.apply(params, bad)
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+class TestConvKeys:
+    @pytest.mark.parametrize("key", ["SAGE", "GCN", "GAT"])
+    def test_hetero_stack_conv_keys(self, key, batch, rng):
+        gnn = HeteroSAGE(hidden_dim=8, out_dim=6, conv_key=key)
+        x = {
+            "query": jnp.asarray(
+                rng.standard_normal((4, batch.query_input_ids.shape[1], 5)),
+                jnp.float32,
+            ),
+            "product": jnp.asarray(
+                rng.standard_normal((4, batch.product_asin.shape[1], 7)),
+                jnp.float32,
+            ),
+        }
+        params = gnn.init(jax.random.PRNGKey(0), x, batch)
+        out = gnn.apply(params, x, batch)
+        assert out["query"].shape[-1] == 6
+        assert np.isfinite(np.asarray(out["product"])).all()
+
+    def test_gcn_normalization(self, rng):
+        from sessionsimilaritysearch_tpu.models import DenseGCNConv
+
+        conv = DenseGCNConv(4)
+        x_src = jnp.ones((1, 2, 3))
+        x_dst = jnp.ones((1, 2, 3))
+        adj = jnp.asarray([[[1.0, 0.0], [0.0, 1.0]]])  # 1-1 edges
+        p = conv.init(jax.random.PRNGKey(0), x_src, x_dst, adj)
+        out1 = conv.apply(p, x_src, x_dst, adj)
+        # with identical src features, sym-normalized aggregation over a
+        # fully connected bipartite graph (2 neighbors at weight 1/2 each)
+        # equals the single-neighbor case at weight 1
+        adj2 = jnp.ones((1, 2, 2))
+        out2 = conv.apply(p, x_src, x_dst, adj2)
+        np.testing.assert_allclose(
+            np.asarray(out2), np.asarray(out1), rtol=1e-5
+        )

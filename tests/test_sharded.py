@@ -83,3 +83,60 @@ class TestShardedDenseIndex:
         index.add(rng.standard_normal((64, 8)).astype(np.float32))
         with pytest.raises(ValueError):
             index.add(rng.standard_normal((8, 8)).astype(np.float32))
+
+
+class TestCompositeMesh:
+    def test_2d_mesh_dp_x_tp(self):
+        """data x model mesh: batch sharded over 'data', the asin embedding
+        sharded over 'model' -- the composite layout for the 391k-vocab
+        logit matmul (SURVEY.md §7 hard part (b))."""
+        import jax.numpy as jnp
+
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+        from sessionsimilaritysearch_tpu.data.synthetic import (
+            SyntheticSessionGenerator,
+        )
+        from sessionsimilaritysearch_tpu.parallel import (
+            create_mesh,
+            shard_params,
+        )
+        from sessionsimilaritysearch_tpu.parallel.mesh import batch_sharding
+        from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_train_step,
+        )
+
+        mesh = create_mesh(shape=(4, 2), axis_names=("data", "model"))
+        cfg = tiny_test_config(asin_num=1024)
+        gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=3)
+        tok = get_tokenizer(cfg.vocab_size)
+        graphs = [
+            sequence_to_graph(i, *d, tok, cfg.dims)
+            for i, d in enumerate(gen.dataset(8))
+        ]
+        batch = jax.tree.map(jnp.asarray, batch_graphs(graphs))
+        rng = jax.random.PRNGKey(0)
+        model, state = create_pretrain_state(cfg, rng, batch)
+
+        _, m_ref = make_train_step(model, has_view=False)(state, batch, rng)
+
+        sh = batch_sharding(mesh, "data")
+        sharded_batch = jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+        sharded_state = state.replace(
+            params=shard_params(
+                state.params, mesh, shard_axis="model", min_rows=512
+            )
+        )
+        table = sharded_state.params["target_asin_embedding"]["embedding"]
+        assert len(table.sharding.device_set) >= 2
+        _, m = make_train_step(model, has_view=False)(
+            sharded_state, sharded_batch, rng
+        )
+        np.testing.assert_allclose(
+            float(m["loss"]), float(m_ref["loss"]), rtol=2e-3
+        )
