@@ -135,3 +135,29 @@ class ShardedDenseIndex:
             mode=self.mode,
         )
         return np.asarray(vals), np.asarray(ids)
+
+    # --- persistence: the sharded corpus IS the index (SURVEY.md §5 plan)
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            buf=np.asarray(self._buf),
+            ids=np.asarray(self._ids),
+            size=self.size,
+            dim=self.dim,
+            capacity=self.capacity,
+            metric=self.metric,
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh, **kw) -> "ShardedDenseIndex":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        idx = cls(
+            dim=int(z["dim"]), capacity=int(z["capacity"]), mesh=mesh,
+            metric=str(z["metric"]), **kw,
+        )
+        sh = NamedSharding(mesh, P(idx.axis, None))
+        sh1 = NamedSharding(mesh, P(idx.axis))
+        idx._buf = jax.device_put(jnp.asarray(z["buf"]), sh)
+        idx._ids = jax.device_put(jnp.asarray(z["ids"]), sh1)
+        idx.size = int(z["size"])
+        return idx

@@ -42,11 +42,17 @@ def run_training(
     resume: bool = True,
     log_every: int = 50,
     valid_metric: str = "loss",
+    nan_recovery: bool = True,
 ):
     """Returns (final_state, best_valid_loss).
 
     ``step_fn(state, batch, rng) -> (state, metrics)``;
     ``eval_fn(state, batch, rng) -> metrics``.
+
+    ``nan_recovery``: on a non-finite loss, roll back to the last saved
+    checkpoint (or drop the poisoned update when none exists) instead of
+    continuing with corrupted parameters -- the failure-detection story the
+    reference lacks (SURVEY.md §5: its asserts only crash the run).
     """
     metrics_log = None
     if rundir is not None:
@@ -65,9 +71,21 @@ def run_training(
         t0 = time.time()
         for batch in train_loader:
             rng, sub = jax.random.split(rng)
+            prev_state = state
             state, m = step_fn(state, to_device(batch), sub)
             step_count += 1
             loss = float(m["loss"])
+            if nan_recovery and not np.isfinite(loss):
+                if ckpt is not None and ckpt.has("latest"):
+                    tree = ckpt.restore("latest", state_to_tree(prev_state))
+                    state = tree_to_state(prev_state, tree)
+                else:
+                    state = prev_state  # drop the poisoned update
+                if rundir:
+                    rundir.logger.warning(
+                        f"non-finite loss at step {step_count}; rolled back"
+                    )
+                continue
             epoch_losses.append(loss)
             if metrics_log and step_count % log_every == 0:
                 metrics_log.log(step_count, **{k: v for k, v in m.items()})

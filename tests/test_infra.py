@@ -261,3 +261,48 @@ class TestContrastiveViewLoader:
         assert not np.array_equal(batch.adj_pp, view.adj_pp) or not np.array_equal(
             batch.query_pos, view.query_pos
         )
+
+
+class TestNanRecovery:
+    def test_rollback_on_nan(self, tmp_path, gen, tokenizer):
+        """A poisoned batch must not corrupt the state."""
+        from sessionsimilaritysearch_tpu.training.loop import run_training
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_train_step,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+
+        cfg = tiny_test_config()
+        data = gen.dataset(4)
+        graphs = [
+            sequence_to_graph(i, *d, tokenizer, cfg.dims)
+            for i, d in enumerate(data)
+        ]
+        good = jax.tree.map(jnp.asarray, batch_graphs(graphs))
+        rng = jax.random.PRNGKey(0)
+        model, state = create_pretrain_state(cfg, rng, good)
+        base_step = make_train_step(model, has_view=False)
+
+        calls = {"n": 0}
+
+        def step(state, batch, rng):
+            calls["n"] += 1
+            if calls["n"] == 2:  # poison the second step
+                s2, m = base_step(state, batch, rng)
+                m = dict(m)
+                m["loss"] = jnp.asarray(float("nan"))
+                return s2, m
+            return base_step(state, batch, rng)
+
+        final, _ = run_training(
+            state=state,
+            step_fn=step,
+            train_loader=[good, good, good],
+            epochs=1,
+            rng=rng,
+        )
+        # 3 batches, one rolled back -> step counter advanced by jitted
+        # steps but parameters remain finite
+        leaves = jax.tree.leaves(final.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -140,3 +140,18 @@ class TestCompositeMesh:
         np.testing.assert_allclose(
             float(m["loss"]), float(m_ref["loss"]), rtol=2e-3
         )
+
+
+class TestShardedPersistence:
+    def test_save_load_roundtrip(self, mesh, rng, tmp_path):
+        index = ShardedDenseIndex(dim=16, capacity=128, mesh=mesh,
+                                  metric="cos", chunk_size=32)
+        rows = rng.standard_normal((64, 16)).astype(np.float32)
+        index.add(rows)
+        p = str(tmp_path / "sharded.npz")
+        index.save(p)
+        loaded = ShardedDenseIndex.load(p, mesh, chunk_size=32)
+        D1, I1 = index.search(rows[:4], 3)
+        D2, I2 = loaded.search(rows[:4], 3)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-6)
