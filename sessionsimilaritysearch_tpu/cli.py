@@ -200,18 +200,55 @@ def cmd_finetune(args):
         return
     tok = get_tokenizer(cfg.vocab_size)
 
-    # frozen encoder = text session encoder (the QAEA fine-tune wiring);
-    # a pretrained graph encoder checkpoint can be substituted via --data
-    enc = build_text_session_encoder(cfg)
-    sample = batch_graphs([
-        sequence_to_graph(0, data[0][0], data[0][1], tok, cfg.dims)
-    ])
-    params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
-    encode_fn = jax.jit(lambda g: enc.apply(params, g))
-    pipe = EmbeddingPipeline(cfg, tok, encode_fn, batch_size=64)
+    if args.from_pretrain:
+        # frozen encoder = the pretrained graph encoder (the fine_tune_ours
+        # wiring: load_path checkpoint, fine_tune_ours.py:258-261)
+        from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_encode_fn,
+        )
+        from sessionsimilaritysearch_tpu.utils.checkpoint import (
+            CheckpointManager,
+            state_to_tree,
+            tree_to_state,
+        )
+
+        with open(os.path.join(args.from_pretrain, "config.json")) as f:
+            from sessionsimilaritysearch_tpu.config import Config
+
+            pcfg = Config.from_json(f.read())
+        sample_loader = SessionGraphLoader(
+            data[:pcfg.batch_size], tok, pcfg.dims, pcfg.batch_size,
+            shuffle=False, prefetch=0,
+        )
+        import jax.numpy as jnp
+
+        sample = jax.tree.map(jnp.asarray, next(iter(sample_loader)))
+        pmodel, pstate = create_pretrain_state(
+            pcfg, jax.random.PRNGKey(0), sample
+        )
+        cm = CheckpointManager(os.path.join(args.from_pretrain, "ckpt"))
+        tag = "best" if cm.has("best") else "latest"
+        pstate = tree_to_state(pstate, cm.restore(tag, state_to_tree(pstate)))
+        encode = make_encode_fn(pmodel)
+        encode_fn = lambda g: encode(pstate, g)
+        emb_dim = pcfg.session_emb_dim
+        pipe = EmbeddingPipeline(pcfg, tok, encode_fn,
+                                 batch_size=pcfg.batch_size)
+    else:
+        # frozen encoder = text session encoder (the fine_tune_QAEA wiring)
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, data[0][0], data[0][1], tok, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        emb_dim = cfg.n_out
+        pipe = EmbeddingPipeline(cfg, tok, encode_fn, batch_size=64)
 
     model, state, tx = create_finetune_state(
-        cfg, jax.random.PRNGKey(cfg.seed), emb_dim=cfg.n_out
+        cfg, jax.random.PRNGKey(cfg.seed), emb_dim=emb_dim
     )
     step = make_finetune_step(model, tx, cfg)
     batches = build_triplet_batches(
@@ -321,6 +358,9 @@ def main(argv=None):
     _common(p)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--num-triplets", type=int, default=64)
+    p.add_argument("--from-pretrain", default=None,
+                   help="savedir of a pretrain run: fine-tune on its frozen "
+                        "graph-encoder embeddings (fine_tune_ours wiring)")
 
     p = sub.add_parser("evaluate", help="end-to-end retrieval evaluation")
     _common(p)
