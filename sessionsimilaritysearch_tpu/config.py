@@ -33,7 +33,13 @@ class GraphDims:
     max_text_sentences: int = 21  # root '' + one per action
 
     def __post_init__(self):
-        assert self.max_query_nodes >= self.max_seq_len + 1 or True
+        # a query node exists for the root plus every search action, so the
+        # padded store must fit max_seq_len + 1 rows or click edges would be
+        # silently misattributed after truncation
+        assert self.max_query_nodes >= self.max_seq_len + 1, (
+            self.max_query_nodes,
+            self.max_seq_len,
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -104,25 +104,53 @@ class SessionGraphLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for b in self._batches():
-                    q.put(b)
+                    # bounded put that notices an abandoned consumer, so a
+                    # dropped iterator (e.g. next(iter(loader))) doesn't pin
+                    # the thread + its prefetched batches forever
+                    while not stop.is_set():
+                        try:
+                            q.put(b, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 err.append(e)
             finally:
-                q.put(_END)
+                # the sentinel must not be dropped when the queue is full,
+                # or the consumer blocks forever; retry until delivered or
+                # the consumer has gone away
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # generator closed (normally or abandoned): release the worker
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 class ContrastiveViewLoader:

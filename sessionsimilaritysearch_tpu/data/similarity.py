@@ -86,6 +86,8 @@ def get_ave_score(I, test_data, train_data, sim_type: str) -> float:
     gt = np.zeros_like(I, dtype=np.float32)
     for i, t in enumerate(test_data):
         for j, d in enumerate(I[i, :]):
+            if d < 0:  # FAISS-style missing-result slot (k > corpus size)
+                continue
             r = train_data[int(d)]
             gt[i, j] = get_score(t, (r, []), sim_type)
     return float(np.mean(gt))

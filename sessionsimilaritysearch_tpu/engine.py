@@ -17,7 +17,6 @@ import jax
 import numpy as np
 
 from sessionsimilaritysearch_tpu.config import Config
-from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
 from sessionsimilaritysearch_tpu.evalharness import metrics as metrics_mod
 from sessionsimilaritysearch_tpu.index.dense import DenseIndex
 from sessionsimilaritysearch_tpu.utils.profiling import PhaseTimer
@@ -50,12 +49,19 @@ class SessionSearchEngine:
         batch_size: int = 256,
         mode: str = "exact",
     ):
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            EmbeddingPipeline,
+        )
+
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.batch_size = batch_size
         self.timer = PhaseTimer()
         self.sessions: List = []  # retained for metric reports
+        self._pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
+        # sessions waiting until a full stripe is available (sharded mode)
+        self._pending: List = []
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -77,50 +83,33 @@ class SessionSearchEngine:
     # ------------------------------------------------------------------
     def embed(self, data: Sequence) -> np.ndarray:
         """Embed raw sessions / (prefix, future) pairs."""
-        norm = [
-            d if isinstance(d, tuple) and len(d) == 2 else (d, [])
-            for d in data
-        ]
-        out = []
-        bs = self.batch_size
-        for s in range(0, len(norm), bs):
-            chunk = norm[s : s + bs]
-            pad = bs - len(chunk)
-            graphs = [
-                sequence_to_graph(
-                    i, seq, tar, self.tokenizer, self.cfg.dims,
-                    ignore_query=self.cfg.ignore_query,
-                )
-                for i, (seq, tar) in enumerate(chunk)
-            ]
-            if pad:
-                graphs.extend([graphs[-1]] * pad)
-            emb = self.timer.timed(
-                "encode", self.encode_fn, batch_graphs(graphs)
-            )
-            out.append(np.asarray(emb)[: len(chunk)])
-        return np.concatenate(out, axis=0)
+        t0 = time.perf_counter()
+        out = self._pipe(data)
+        self.timer.totals["encode"] += time.perf_counter() - t0
+        self.timer.counts["encode"] += 1
+        return out
 
     def add_sessions(self, data: Sequence) -> None:
-        """Encode + stream-insert sessions into the corpus."""
-        emb = self.embed(data)
-        m = emb.shape[0]
-        keep = m
-        if m % self._pad_to:
-            # sharded inserts must stripe evenly; repeat the tail row and
-            # remember only the real sessions for metric reports
-            reps = self._pad_to - m % self._pad_to
-            emb = np.concatenate([emb, np.repeat(emb[-1:], reps, axis=0)])
+        """Encode + stream-insert sessions into the corpus.
+
+        In sharded mode inserts stripe across shards, so only whole
+        multiples of the shard count go in immediately; the remainder is
+        buffered until the next add (``pending`` in :meth:`stats`). No
+        duplicate rows are ever inserted -- duplicates would occupy top-k
+        slots and double-count in reports.
+        """
+        self._pending.extend(data)
+        m = (len(self._pending) // self._pad_to) * self._pad_to
+        if m == 0:
+            return
+        batch, self._pending = self._pending[:m], self._pending[m:]
+        emb = self.embed(batch)
         with self.timer("insert"):
             self.index.add(emb)
         self.sessions.extend(
-            d[0] if isinstance(d, tuple) and len(d) == 2 else d for d in data
+            d[0] if isinstance(d, tuple) and len(d) == 2 else d
+            for d in batch
         )
-        if emb.shape[0] != keep:
-            # padded duplicates also need session entries to keep global ids
-            # aligned with corpus rows
-            tail = self.sessions[-1]
-            self.sessions.extend([tail] * (emb.shape[0] - keep))
 
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None):
@@ -151,4 +140,5 @@ class SessionSearchEngine:
     def stats(self) -> dict:
         s = self.timer.summary()
         s["ntotal"] = self.index.ntotal
+        s["pending"] = len(self._pending)
         return s

@@ -39,7 +39,10 @@ def _map_over(I, relevant_sets, corpus_item_sets):
     for i in range(I.shape[0]):
         rel = relevant_sets[i]
         y = np.array(
-            [len(corpus_item_sets[I[i, j]] & rel) > 0 for j in range(K)],
+            [
+                I[i, j] >= 0 and len(corpus_item_sets[I[i, j]] & rel) > 0
+                for j in range(K)
+            ],
             dtype=np.float64,
         )
         maps.append(average_precision(y))
@@ -79,6 +82,8 @@ def _jaccard_over(I, query_sets, corpus_sets, denom: str):
         if len(q) == 0:
             continue
         for j in range(K):
+            if I[i, j] < 0:  # missing-result slot
+                continue
             s = corpus_sets[I[i, j]]
             if denom == "union":
                 d = len(s | q)
@@ -114,6 +119,8 @@ def get_all_jaccard_mse(D, I, test_data, corpus):
                 similarity.get_score(
                     test_data[i], (corpus[I[i, j]], []), "all_jaccard"
                 )
+                if I[i, j] >= 0
+                else 0.0
             )
     return float(np.mean(np.abs(D.flatten() - np.asarray(truths))))
 
@@ -153,6 +160,8 @@ def get_query_metric(I, test_data, corpus, mode: str, metric: str):
         if len(query) == 0:
             continue
         for j in range(K):
+            if I[i, j] < 0:
+                continue
             session_q = schema.get_query(corpus[I[i, j]], False)
             q_cnt, s_cnt = levenshtein.get_string_match(query, session_q)
             if metric == "score":
@@ -172,6 +181,8 @@ def get_recall_above_threshold(test_data, corpus, I, sim_type: str, thres: float
     gt = np.zeros_like(I, dtype=np.float32)
     for i, t in enumerate(test_data):
         for j in range(I.shape[1]):
+            if I[i, j] < 0:
+                continue
             gt[i, j] = similarity.get_score(t, (corpus[I[i, j]], []), sim_type)
     return float(np.mean(np.sum(gt > thres, axis=1)) / I.shape[1])
 

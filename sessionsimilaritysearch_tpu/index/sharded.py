@@ -146,6 +146,7 @@ class ShardedDenseIndex:
             dim=self.dim,
             capacity=self.capacity,
             metric=self.metric,
+            ndev=self.ndev,
         )
 
     @classmethod
@@ -155,9 +156,45 @@ class ShardedDenseIndex:
             dim=int(z["dim"]), capacity=int(z["capacity"]), mesh=mesh,
             metric=str(z["metric"]), **kw,
         )
+        saved_ndev = int(z.get("ndev", idx.ndev))
+        size = int(z["size"])
+        if saved_ndev != idx.ndev:
+            # a partially-filled buffer's valid rows sit at the head of each
+            # OLD shard; re-stripe them so the per-shard fill mask stays
+            # correct on the new mesh
+            if size % idx.ndev != 0:
+                raise ValueError(
+                    f"index saved on {saved_ndev} shards holds {size} rows, "
+                    f"not divisible across {idx.ndev} shards"
+                )
+            old_rows = int(z["capacity"]) // saved_ndev
+            per_old = size // saved_ndev
+            buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
+            ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
+            flat_buf = buf[:, :per_old].reshape(size, idx.dim)
+            flat_ids = ids[:, :per_old].reshape(size)
+            order = np.argsort(flat_ids)  # restore insertion order
+            # skip normalization: rows were normalized at original add
+            rows = jax.device_put(
+                jnp.asarray(flat_buf[order], idx.dtype),
+                NamedSharding(mesh, P(idx.axis, None)),
+            )
+            row_ids = jax.device_put(
+                jnp.asarray(flat_ids[order]),
+                NamedSharding(mesh, P(idx.axis)),
+            )
+            start = jax.device_put(
+                jnp.zeros((idx.ndev,), jnp.int32),
+                NamedSharding(mesh, P(idx.axis)),
+            )
+            idx._buf, idx._ids = idx._write_fn(
+                idx._buf, idx._ids, rows, row_ids, start
+            )
+            idx.size = size
+            return idx
         sh = NamedSharding(mesh, P(idx.axis, None))
         sh1 = NamedSharding(mesh, P(idx.axis))
         idx._buf = jax.device_put(jnp.asarray(z["buf"]), sh)
         idx._ids = jax.device_put(jnp.asarray(z["ids"]), sh1)
-        idx.size = int(z["size"])
+        idx.size = size
         return idx

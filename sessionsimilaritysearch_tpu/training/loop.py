@@ -58,13 +58,23 @@ def run_training(
     if rundir is not None:
         metrics_log = MetricLogger(rundir.file("metrics.jsonl"), rundir.logger)
 
+    best_valid = float("inf")
+    own_latest = False  # whether 'latest' was written by THIS run
     if ckpt is not None and resume and ckpt.has("latest"):
         tree = ckpt.restore("latest", state_to_tree(state))
         state = tree_to_state(state, tree)
+        own_latest = True
+        # carry the best-so-far across restarts, or the first (typically
+        # worse) post-resume validation would clobber the saved 'best'
+        meta = ckpt.restore("loop_meta") if ckpt.has("loop_meta") else None
+        if meta is not None and "best_valid" in meta:
+            best_valid = float(np.asarray(meta["best_valid"]))
         if rundir:
-            rundir.logger.info(f"resumed from step {int(state.step)}")
+            rundir.logger.info(
+                f"resumed from step {int(state.step)}"
+                f" (best_valid {best_valid:.4f})"
+            )
 
-    best_valid = float("inf")
     step_count = int(getattr(state, "step", 0))
     for epoch in range(epochs):
         epoch_losses = []
@@ -76,7 +86,10 @@ def run_training(
             step_count += 1
             loss = float(m["loss"])
             if nan_recovery and not np.isfinite(loss):
-                if ckpt is not None and ckpt.has("latest"):
+                # only roll back to a checkpoint THIS run owns; a stale
+                # 'latest' from an earlier run must not leak into a
+                # resume=False run
+                if ckpt is not None and own_latest:
                     tree = ckpt.restore("latest", state_to_tree(prev_state))
                     state = tree_to_state(prev_state, tree)
                 else:
@@ -112,6 +125,8 @@ def run_training(
 
         if ckpt is not None:
             ckpt.save("latest", state_to_tree(state))
+            ckpt.save("loop_meta", {"best_valid": np.asarray(best_valid)})
+            own_latest = True
         if rundir:
             rundir.logger.info(
                 "epoch %d: train %.4f%s (%.1fs)"

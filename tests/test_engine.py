@@ -64,9 +64,16 @@ class TestEngine:
             cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
             mesh=mesh, batch_size=8,
         )
-        data = gen.dataset(20)  # 20 % 8 != 0 -> internal padding path
+        data = gen.dataset(20)  # 20 % 8 != 0 -> remainder stays pending
         eng.add_sessions(data)
-        assert eng.index.ntotal == 24  # padded to stripe evenly
-        assert len(eng.sessions) == 24
+        assert eng.index.ntotal == 16  # whole stripes only, no duplicates
+        assert eng.stats()["pending"] == 4
         D, I = eng.search(data[:5], k=3)
         np.testing.assert_array_equal(I[:, 0], np.arange(5))
+        # the pending tail flushes with the next add
+        eng.add_sessions(gen.dataset(4))
+        assert eng.index.ntotal == 24
+        assert eng.stats()["pending"] == 0
+        # a late row is findable under its global insertion id
+        D2, I2 = eng.search([data[16][0]], k=1)
+        assert I2[0, 0] == 16
