@@ -88,6 +88,19 @@ def load_sessions(path: str):
         return pickle.load(f)
 
 
+def sessions_from_item_sequences(seqs: Sequence[Sequence[int]]):
+    """Convert bare item-id sequences (the Yoochoose format consumed at
+    test_amazon_filterd.py:102-103: lists of clicked item ids, no queries /
+    titles / types) into schema sessions."""
+    out = []
+    for seq in seqs:
+        out.append([
+            Action(float(i), "c", None, str(item), None, None, None, int(item))
+            for i, item in enumerate(seq)
+        ])
+    return out
+
+
 def split_prefix_future(sessions, rng, min_prefix: int = 1):
     """Turn full sessions into (prefix, future) training pairs -- the
     us-filtered-split-* construction implied by fine_tune_ours.py:169-171."""

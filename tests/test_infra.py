@@ -306,3 +306,16 @@ class TestNanRecovery:
         # steps but parameters remain finite
         leaves = jax.tree.leaves(final.params)
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+class TestYoochooseFormat:
+    def test_item_sequences_roundtrip(self):
+        from sessionsimilaritysearch_tpu.data import schema
+        from sessionsimilaritysearch_tpu.data.etl import (
+            sessions_from_item_sequences,
+        )
+
+        sessions = sessions_from_item_sequences([[3, 7, 3], [9]])
+        assert schema.get_item(sessions[0]) == {3, 7}
+        assert schema.get_item(sessions[1]) == {9}
+        assert all(a.action_type == "c" for a in sessions[0])

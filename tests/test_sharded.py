@@ -155,3 +155,24 @@ class TestShardedPersistence:
         D2, I2 = loaded.search(rows[:4], 3)
         np.testing.assert_array_equal(I1, I2)
         np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+class TestShardCountMigration:
+    def test_load_on_different_shard_count(self, mesh, rng, tmp_path):
+        """An index saved on a 4-shard mesh restripes correctly on 8."""
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+        import jax
+
+        mesh4 = create_mesh(shape=(4,), devices=jax.devices()[:4])
+        idx4 = ShardedDenseIndex(dim=8, capacity=64, mesh=mesh4,
+                                 metric="cos", chunk_size=16)
+        rows = rng.standard_normal((32, 8)).astype(np.float32)
+        idx4.add(rows)
+        p = str(tmp_path / "m.npz")
+        idx4.save(p)
+        idx8 = ShardedDenseIndex.load(p, mesh, chunk_size=16)
+        assert idx8.size == 32
+        D4, I4 = idx4.search(rows[:5], 3)
+        D8, I8 = idx8.search(rows[:5], 3)
+        np.testing.assert_array_equal(I4, I8)
+        np.testing.assert_allclose(D4, D8, rtol=1e-5)

@@ -209,3 +209,16 @@ class TestHamming:
         d, i = idx.search(q, 1)
         np.testing.assert_array_equal(d[:, 0], [0, 0, 0])
         np.testing.assert_array_equal(i[:, 0], [0, 1, 2])
+
+
+class TestScoreDtype:
+    def test_bf16_scores_close_to_exact(self, data):
+        q, c = data
+        v32, i32 = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                                chunk_size=256)
+        v16, i16 = chunked_topk(jnp.asarray(q), jnp.asarray(c), 10,
+                                chunk_size=256, score_dtype=jnp.bfloat16)
+        # scores agree to bf16 precision; the candidate sets overlap heavily
+        np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                                   rtol=2e-2, atol=1e-2)
+        assert recall_at_k(np.asarray(i16), np.asarray(i32)) > 0.85
