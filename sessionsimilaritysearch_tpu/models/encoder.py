@@ -97,21 +97,26 @@ class GraphLevelEncoder(nn.Module):
         get_node: bool = False,
         deterministic: bool = True,
     ):
-        emb = {}
-        emb["query"] = _embed_nodes(
+        # one fused text pass over both node stores (same embedder params;
+        # a single [B*(Q+P), T] kernel utilizes the MXU better than two
+        # smaller ones)
+        Q = graph.query_input_ids.shape[1]
+        both = _embed_nodes(
             self.query_node_embedder,
-            graph.query_input_ids,
-            graph.query_type_ids,
-            graph.query_attention_mask,
+            jnp.concatenate(
+                [graph.query_input_ids, graph.product_input_ids], axis=1
+            ),
+            jnp.concatenate(
+                [graph.query_type_ids, graph.product_type_ids], axis=1
+            ),
+            jnp.concatenate(
+                [graph.query_attention_mask, graph.product_attention_mask],
+                axis=1,
+            ),
             deterministic=deterministic,
         )
-        b = _embed_nodes(
-            self.query_node_embedder,
-            graph.product_input_ids,
-            graph.product_type_ids,
-            graph.product_attention_mask,
-            deterministic=deterministic,
-        )
+        emb = {"query": both[:, :Q]}
+        b = both[:, Q:]
         if self.use_id_embedding:
             a = self.product_node_embedder(graph.product_asin)
             emb["product"] = jnp.concatenate([a, b], axis=-1)
@@ -171,22 +176,24 @@ class UnifyPoolingGraphLevelEncoder(nn.Module):
         deterministic: bool = True,
     ):
         emb, tok = {}, {}
-        emb["query"], tok["query"] = _embed_nodes(
+        Q = graph.query_input_ids.shape[1]
+        both, both_tok = _embed_nodes(
             self.query_node_embedder,
-            graph.query_input_ids,
-            graph.query_type_ids,
-            graph.query_attention_mask,
+            jnp.concatenate(
+                [graph.query_input_ids, graph.product_input_ids], axis=1
+            ),
+            jnp.concatenate(
+                [graph.query_type_ids, graph.product_type_ids], axis=1
+            ),
+            jnp.concatenate(
+                [graph.query_attention_mask, graph.product_attention_mask],
+                axis=1,
+            ),
             get_token=True,
             deterministic=deterministic,
         )
-        b, tok["product"] = _embed_nodes(
-            self.query_node_embedder,
-            graph.product_input_ids,
-            graph.product_type_ids,
-            graph.product_attention_mask,
-            get_token=True,
-            deterministic=deterministic,
-        )
+        emb["query"], tok["query"] = both[:, :Q], both_tok[:, :Q]
+        b, tok["product"] = both[:, Q:], both_tok[:, Q:]
         if self.use_id_embedding:
             a = self.product_node_embedder(graph.product_asin)
             emb["product"] = jnp.concatenate([a, b], axis=-1)
