@@ -151,6 +151,43 @@ def evaluate_binary(
     )
 
 
+def evaluate_knn_recommendation(
+    cfg: Config,
+    tokenizer,
+    encode_fn: Callable,
+    corpus_data: Sequence,
+    test_data: Sequence,
+    K: int = 20,
+    sample_size: int = 500,
+    batch_size: int = 256,
+) -> dict:
+    """Next-item recommendation via session kNN -- the Yoochoose evaluation
+    flow (test_amazon_filterd.py:87-205): retrieve similar sessions, pool
+    their items weighted by similarity, report recall@K of the pooled
+    ranking against the session's future items."""
+    from sessionsimilaritysearch_tpu.evalharness.knn import (
+        knn_recommendation_recall,
+    )
+
+    pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
+    corpus_sessions = [
+        d[0] if isinstance(d, tuple) else d for d in corpus_data
+    ]
+    corpus_emb = pipe(corpus_sessions)
+    query_emb = pipe([t[0] for t in test_data])
+    k_search = min(sample_size, corpus_emb.shape[0])
+    D, I, _, search_s = run_dense_search(corpus_emb, query_emb, k_search)
+    recall = knn_recommendation_recall(
+        D, I, test_data, corpus_sessions, K=K, sample_size=sample_size
+    )
+    return {
+        "recall_at_k": recall,
+        "K": K,
+        "search_s": search_s,
+        "qps": len(test_data) / search_s if search_s > 0 else float("inf"),
+    }
+
+
 def evaluate_sparse(
     cfg: Config,
     corpus_sessions: Sequence,

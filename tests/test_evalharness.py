@@ -167,3 +167,25 @@ class TestHarness:
         q = db[:2]
         res = harness.evaluate_binary(db, q, corpus_sessions, test_data, k=3)
         np.testing.assert_array_equal(res.I[:, 0], [0, 1])  # self-retrieval
+
+
+class TestKnnRecommendationMode:
+    def test_evaluate_knn_recommendation(self, gen, tokenizer):
+        cfg = tiny_test_config()
+        from sessionsimilaritysearch_tpu.models import build_text_session_encoder
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs, sequence_to_graph
+
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        corpus_data = gen.dataset(16)
+        test_data = gen.dataset(4)
+        out = harness.evaluate_knn_recommendation(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, K=5,
+            sample_size=8, batch_size=8,
+        )
+        assert 0.0 <= out["recall_at_k"] <= 1.0
+        assert out["qps"] > 0

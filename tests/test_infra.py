@@ -319,3 +319,46 @@ class TestYoochooseFormat:
         assert schema.get_item(sessions[0]) == {3, 7}
         assert schema.get_item(sessions[1]) == {9}
         assert all(a.action_type == "c" for a in sessions[0])
+
+
+class TestPrecision:
+    def test_cast_floats(self):
+        import jax.numpy as jnp
+
+        from sessionsimilaritysearch_tpu.utils.precision import serving_params
+
+        tree = {"w": jnp.ones((2, 2), jnp.float32), "ids": jnp.ones(3, jnp.int32)}
+        out = serving_params(tree)
+        assert out["w"].dtype == jnp.bfloat16
+        assert out["ids"].dtype == jnp.int32
+
+    def test_encoder_runs_with_bf16_params(self, gen, tokenizer, tiny_cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+        from sessionsimilaritysearch_tpu.models import build_graph_encoder
+        from sessionsimilaritysearch_tpu.utils.precision import serving_params
+
+        enc = build_graph_encoder(tiny_cfg)
+        batch = jax.tree.map(
+            jnp.asarray,
+            batch_graphs([
+                sequence_to_graph(i, *d, tokenizer, tiny_cfg.dims)
+                for i, d in enumerate(gen.dataset(4))
+            ]),
+        )
+        params = enc.init(jax.random.PRNGKey(0), batch)
+        emb32 = enc.apply(params, batch)
+        emb16 = enc.apply(serving_params(params), batch)
+        assert np.isfinite(np.asarray(emb16)).all()
+        # bf16 serving stays close to the f32 embedding direction
+        a = np.asarray(emb32, np.float32)
+        b = np.asarray(emb16, np.float32)
+        cos = np.sum(a * b, 1) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9
+        )
+        assert cos.min() > 0.98
