@@ -106,6 +106,7 @@ class SessionSearchEngine:
         emb = self.embed(batch)
         with self.timer("insert"):
             self.index.add(emb)
+            jax.block_until_ready(self.index._buf)  # time the device work
         self.sessions.extend(
             d[0] if isinstance(d, tuple) and len(d) == 2 else d
             for d in batch
@@ -128,14 +129,10 @@ class SessionSearchEngine:
         return self.index.search(np.asarray(emb), k)
 
     # ------------------------------------------------------------------
-    def report(self, test_data: Sequence, I) -> dict:
-        """Ground-truth quality report for retrieved results."""
-        return metrics_mod.full_report(
-            np.zeros_like(np.asarray(I), dtype=np.float32),
-            I,
-            list(test_data),
-            self.sessions,
-        )
+    def report(self, test_data: Sequence, I, D=None) -> dict:
+        """Ground-truth quality report for retrieved results. Pass the
+        cosine D matrix to include the |score - jaccard| diagnostic."""
+        return metrics_mod.full_report(D, I, list(test_data), self.sessions)
 
     def stats(self) -> dict:
         s = self.timer.summary()

@@ -54,6 +54,8 @@ class EmbeddingPipeline:
 
     def __call__(self, data: Sequence) -> np.ndarray:
         """``data``: list of (prefix, future) pairs or bare sessions."""
+        if len(data) == 0:
+            return np.zeros((0, 0), dtype=np.float32)
         out = []
         bs = self.batch_size
         norm = [
@@ -197,10 +199,15 @@ def evaluate_sparse(
     lammy: float = 1.04,
     with_report: bool = True,
 ) -> SearchResult:
-    """The 'STAN'/'SKNN' modes of main2 (:582-602): sparse CPU brute force."""
+    """The 'STAN'/'SKNN' modes of main2 (:582-602): sparse CPU brute force.
+
+    NOTE per the reference, the CORPUS is always binary item-indicator
+    vectors; only the queries change vectorizer (STAN mode applies the
+    exponential time decay to the query side, test_amazon_filterd.py:
+    589-605)."""
     t0 = time.perf_counter()
     corpus = sparse_index.build_sparse_corpus(
-        corpus_sessions, cfg.asin_num, kind=kind, lammy=lammy
+        corpus_sessions, cfg.asin_num, kind="binary"
     )
     t1 = time.perf_counter()
     vec_fn = (

@@ -53,22 +53,22 @@ def _corpus_item_sets(corpus):
     return [schema.get_item(s) for s in corpus]
 
 
-def get_future_map(I, test_data, corpus):
+def get_future_map(I, test_data, corpus, corpus_sets=None):
     """MAP where a hit = corpus session sharing an item with the FUTURE
     (test_amazon_filterd.py:226-244)."""
-    sets = _corpus_item_sets(corpus)
+    sets = corpus_sets or _corpus_item_sets(corpus)
     rel = [schema.get_item(t[1]) for t in test_data]
     return _map_over(np.asarray(I), rel, sets)
 
 
-def get_all_map(I, test_data, corpus):
-    sets = _corpus_item_sets(corpus)
+def get_all_map(I, test_data, corpus, corpus_sets=None):
+    sets = corpus_sets or _corpus_item_sets(corpus)
     rel = [schema.get_item(list(t[0]) + list(t[1])) for t in test_data]
     return _map_over(np.asarray(I), rel, sets)
 
 
-def get_cur_map(I, test_data, corpus):
-    sets = _corpus_item_sets(corpus)
+def get_cur_map(I, test_data, corpus, corpus_sets=None):
+    sets = corpus_sets or _corpus_item_sets(corpus)
     rel = [schema.get_item(t[0]) for t in test_data]
     return _map_over(np.asarray(I), rel, sets)
 
@@ -125,19 +125,19 @@ def get_all_jaccard_mse(D, I, test_data, corpus):
     return float(np.mean(np.abs(D.flatten() - np.asarray(truths))))
 
 
-def get_cur_recall(I, test_data, corpus):
-    sets = _corpus_item_sets(corpus)
+def get_cur_recall(I, test_data, corpus, corpus_sets=None):
+    sets = corpus_sets or _corpus_item_sets(corpus)
     return _jaccard_over(I, [schema.get_item(t[0]) for t in test_data], sets, "query")
 
 
-def get_all_recall(I, test_data, corpus):
-    sets = _corpus_item_sets(corpus)
+def get_all_recall(I, test_data, corpus, corpus_sets=None):
+    sets = corpus_sets or _corpus_item_sets(corpus)
     rel = [schema.get_item(list(t[0]) + list(t[1])) for t in test_data]
     return _jaccard_over(I, rel, sets, "query")
 
 
-def get_future_recall(I, test_data, corpus):
-    sets = _corpus_item_sets(corpus)
+def get_future_recall(I, test_data, corpus, corpus_sets=None):
+    sets = corpus_sets or _corpus_item_sets(corpus)
     return _jaccard_over(I, [schema.get_item(t[1]) for t in test_data], sets, "query")
 
 
@@ -190,16 +190,21 @@ def get_recall_above_threshold(test_data, corpus, I, sim_type: str, thres: float
 def full_report(D, I, test_data, corpus) -> dict:
     """Every sim-type mean + the four metric families in one dict (the
     print block of test_amazon_filterd.py:669-673 and
-    fine_tune_ours.py:889-897)."""
+    fine_tune_ours.py:889-897). Pass ``D=None`` when retrieval scores are
+    not cosine-comparable (e.g. Hamming distances); when given, D feeds the
+    |score - jaccard| diagnostic (test_amazon_filterd.py:314-329)."""
     out = {}
+    sets = _corpus_item_sets(corpus)  # shared across the set-based metrics
     for st in similarity.SIM_TYPES:
         out[f"ave_{st}"] = similarity.get_ave_score(I, test_data, corpus, st)
-    out["future_map"] = get_future_map(I, test_data, corpus)
-    out["all_map"] = get_all_map(I, test_data, corpus)
-    out["cur_map"] = get_cur_map(I, test_data, corpus)
-    out["future_recall"] = get_future_recall(I, test_data, corpus)
-    out["all_recall"] = get_all_recall(I, test_data, corpus)
+    out["future_map"] = get_future_map(I, test_data, corpus, sets)
+    out["all_map"] = get_all_map(I, test_data, corpus, sets)
+    out["cur_map"] = get_cur_map(I, test_data, corpus, sets)
+    out["future_recall"] = get_future_recall(I, test_data, corpus, sets)
+    out["all_recall"] = get_all_recall(I, test_data, corpus, sets)
     out["frac_above_0.5"] = get_recall_above_threshold(
         test_data, corpus, I, "all_product_type_score", 0.5
     )
+    if D is not None:
+        out["all_jaccard_mse"] = get_all_jaccard_mse(D, I, test_data, corpus)
     return out

@@ -55,15 +55,19 @@ def build_sparse_corpus(
 def find_K_sparse_dense(sparse_data: csr_matrix, dense_query: np.ndarray, K: int):
     """Brute-force top-K of dense queries against a CSR corpus
     (test_amazon_filterd.py:403-412) -- the exact-search loop the TPU
-    engine replaces; kept as the CPU oracle."""
+    engine replaces; kept as the CPU oracle. Missing slots (K > corpus
+    size) fill with (-inf, -1), matching the device indexes."""
     nq = dense_query.shape[0]
-    I = np.zeros((nq, K), dtype=np.int32)
-    D = np.zeros((nq, K))
+    n = sparse_data.shape[0]
+    kk = min(K, n)
+    I = np.full((nq, K), -1, dtype=np.int32)
+    D = np.full((nq, K), -np.inf)
     for i in range(nq):
         val = np.squeeze(np.asarray(sparse_data.dot(dense_query[i, :])))
-        order = np.argsort(val)[-K:][::-1]
-        I[i, :] = order
-        D[i, :] = val[order]
+        val = np.atleast_1d(val)
+        order = np.argsort(val)[-kk:][::-1]
+        I[i, :kk] = order
+        D[i, :kk] = val[order]
     return D, I
 
 
@@ -78,6 +82,8 @@ def get_STAN_score(I, test_data, corpus, asin_num: int, lammy: float = 1.04):
             continue
         q = sequence_to_stan_vec(prefix, asin_num, lammy) / np.sqrt(len(prefix))
         for j in range(I.shape[1]):
+            if I[i, j] < 0:  # missing-result slot
+                continue
             s = sequence_to_binary_vec(corpus[I[i, j]], asin_num)
             s = s / np.sqrt(np.sum(s**2) + 1e-6)
             scores.append(float(q @ s))

@@ -97,7 +97,11 @@ def hamming_topk(
     (neg, idx), _ = jax.lax.scan(
         step, init, (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
     )
-    return -neg, idx
+    # missing slots carry the INT32_MIN sentinel; negating would overflow
+    # back to "closest possible" -- report a huge distance instead, matching
+    # FAISS's missing-result convention
+    dist = jnp.where(idx < 0, jnp.iinfo(jnp.int32).max, -neg)
+    return dist, idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size", "n_bits"))
