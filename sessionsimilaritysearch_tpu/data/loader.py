@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ProcessPoolExecutor
 from typing import Callable, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -23,6 +24,32 @@ from sessionsimilaritysearch_tpu.data.graph import (
     batch_graphs,
     sequence_to_graph,
 )
+
+# --- multiprocess graph building -------------------------------------------
+# sequence_to_graph is ~1 ms/session of single-threaded Python; at corpus
+# scale it, not the TPU, bounds embed throughput (docs/RESULTS.md). Worker
+# processes hold the dataset once (initializer) and return whole stacked
+# batches, so per-batch IPC is one pickled SessionGraph.
+
+_POOL_STATE: dict = {}
+
+
+def _pool_init(data, tokenizer, dims, ignore_query):
+    _POOL_STATE.update(
+        data=data, tokenizer=tokenizer, dims=dims, ignore_query=ignore_query
+    )
+
+
+def _pool_build_batch(indices):
+    s = _POOL_STATE
+    graphs = [
+        sequence_to_graph(
+            int(i), s["data"][int(i)][0], s["data"][int(i)][1],
+            s["tokenizer"], s["dims"], ignore_query=s["ignore_query"],
+        )
+        for i in indices
+    ]
+    return batch_graphs(graphs)
 
 
 class SessionGraphLoader:
@@ -46,7 +73,10 @@ class SessionGraphLoader:
         cache: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 0,
     ):
+        """``workers > 0``: build batches in a process pool (only valid with
+        ``transform=None`` -- augmentations are rng-stateful on the host)."""
         self.data = list(data)
         self.tokenizer = tokenizer
         self.dims = dims
@@ -57,9 +87,32 @@ class SessionGraphLoader:
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        self.workers = 0 if transform is not None else workers
+        self._pool: Optional[ProcessPoolExecutor] = None
         self._cache: Optional[List[SessionGraph]] = None
         if cache and transform is None:
             self._cache = [self._build(i) for i in range(len(self.data))]
+
+    def _get_pool(self) -> ProcessPoolExecutor:
+        if self._pool is None:
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.workers,
+                initializer=_pool_init,
+                initargs=(self.data, self.tokenizer, self.dims,
+                          self.ignore_query),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _build(self, i: int) -> SessionGraph:
         seq, tar = self.data[i]
@@ -75,22 +128,33 @@ class SessionGraphLoader:
         full, rem = divmod(n, self.batch_size)
         return full if (self.drop_last or rem == 0) else full + 1
 
-    def _batches(self) -> Iterator[SessionGraph]:
+    def _batch_index_lists(self):
         order = (
             self.rng.permutation(len(self.data))
             if self.shuffle
             else np.arange(len(self.data))
         )
         bs = self.batch_size
+        out = []
         for s in range(0, len(order), bs):
             sel = order[s : s + bs]
             if len(sel) < bs:
                 if self.drop_last:
-                    return
+                    break
                 # pad with wrap-around samples: batch shape stays static so
                 # the train step never recompiles
                 extra = order[: bs - len(sel)]
                 sel = np.concatenate([sel, extra])
+            out.append(sel)
+        return out
+
+    def _batches(self) -> Iterator[SessionGraph]:
+        selections = self._batch_index_lists()
+        if self.workers > 0 and self._cache is None:
+            pool = self._get_pool()
+            yield from pool.map(_pool_build_batch, selections)
+            return
+        for sel in selections:
             if self._cache is not None:
                 graphs = [self._cache[i] for i in sel]
             else:

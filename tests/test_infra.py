@@ -362,3 +362,32 @@ class TestPrecision:
             np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-9
         )
         assert cos.min() > 0.98
+
+
+class TestWorkerLoader:
+    def test_workers_match_serial(self, gen, tokenizer, tiny_cfg):
+        data = gen.dataset(12)
+        serial = SessionGraphLoader(
+            data, tokenizer, tiny_cfg.dims, 4, shuffle=False, prefetch=0,
+            cache=False,
+        )
+        parallel = SessionGraphLoader(
+            data, tokenizer, tiny_cfg.dims, 4, shuffle=False, prefetch=0,
+            cache=False, workers=2,
+        )
+        try:
+            for b1, b2 in zip(serial, parallel):
+                np.testing.assert_array_equal(b1.idx, b2.idx)
+                np.testing.assert_array_equal(
+                    b1.query_input_ids, b2.query_input_ids
+                )
+                np.testing.assert_array_equal(b1.adj_pp, b2.adj_pp)
+        finally:
+            parallel.close()
+
+    def test_workers_disabled_with_transform(self, gen, tokenizer, tiny_cfg):
+        loader = SessionGraphLoader(
+            gen.dataset(4), tokenizer, tiny_cfg.dims, 4,
+            transform=lambda d, r: d, workers=4, cache=False, prefetch=0,
+        )
+        assert loader.workers == 0
