@@ -282,6 +282,25 @@ def cmd_evaluate(args):
             cfg, [d[0] for d in corpus_data], test_data,
             kind="stan" if args.mode == "STAN" else "binary", k=args.k,
         )
+    elif args.mode == "knn":
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder as _bts,
+        )
+
+        tok = get_tokenizer(cfg.vocab_size)
+        enc = _bts(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, data[0][0], data[0][1], tok, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        out = harness.evaluate_knn_recommendation(
+            cfg, tok, encode_fn, corpus_data, test_data, K=args.k,
+            batch_size=64,
+        )
+        print(json.dumps({"mode": "knn", **{k: round(float(v), 4)
+                                            for k, v in out.items()}}))
+        return
     else:
         tok = get_tokenizer(cfg.vocab_size)
         enc = build_text_session_encoder(cfg)
@@ -365,7 +384,7 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="end-to-end retrieval evaluation")
     _common(p)
     p.add_argument("--mode", default="model",
-                   choices=["model", "STAN", "SKNN"])
+                   choices=["model", "STAN", "SKNN", "knn"])
     p.add_argument("--k", type=int, default=20)
 
     p = sub.add_parser("etl", help="sessions <-> CSV round trip")

@@ -11,6 +11,7 @@ device compute.
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
 from concurrent.futures import ProcessPoolExecutor
@@ -95,8 +96,16 @@ class SessionGraphLoader:
 
     def _get_pool(self) -> ProcessPoolExecutor:
         if self._pool is None:
+            # never fork: JAX's runtime is multithreaded by the time a pool
+            # is created, and fork()ing a threaded process deadlocks. The
+            # forkserver children are forked from a clean helper process.
+            try:
+                ctx = multiprocessing.get_context("forkserver")
+            except ValueError:
+                ctx = multiprocessing.get_context("spawn")
             self._pool = ProcessPoolExecutor(
                 max_workers=self.workers,
+                mp_context=ctx,
                 initializer=_pool_init,
                 initargs=(self.data, self.tokenizer, self.dims,
                           self.ignore_query),

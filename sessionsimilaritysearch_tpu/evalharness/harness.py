@@ -43,40 +43,41 @@ class SearchResult:
 class EmbeddingPipeline:
     """Host-side embed loop: sessions -> padded graphs -> batched jitted
     encoder forward -> stacked [N, d] matrix (the corpus-embed loop of
-    fine_tune_ours.py:821-832 as one XLA program per batch)."""
+    fine_tune_ours.py:821-832 as one XLA program per batch).
+
+    Graph building runs through SessionGraphLoader, so it overlaps device
+    compute (prefetch thread) and scales with host cores (``workers``)."""
 
     def __init__(self, cfg: Config, tokenizer, encode_fn: Callable,
-                 batch_size: int = 256):
+                 batch_size: int = 256, workers: int = 0, prefetch: int = 2):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.encode_fn = encode_fn
         self.batch_size = batch_size
+        self.workers = workers
+        self.prefetch = prefetch
 
     def __call__(self, data: Sequence) -> np.ndarray:
         """``data``: list of (prefix, future) pairs or bare sessions."""
+        from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+
         if len(data) == 0:
             return np.zeros((0, 0), dtype=np.float32)
-        out = []
-        bs = self.batch_size
         norm = [
             d if isinstance(d, tuple) and len(d) == 2 else (d, [])
             for d in data
         ]
-        for s in range(0, len(norm), bs):
-            chunk = norm[s : s + bs]
-            pad = bs - len(chunk)
-            graphs = [
-                sequence_to_graph(
-                    i, seq, tar, self.tokenizer, self.cfg.dims,
-                    ignore_query=self.cfg.ignore_query,
-                )
-                for i, (seq, tar) in enumerate(chunk)
-            ]
-            if pad:
-                graphs.extend([graphs[-1]] * pad)  # static batch shape
-            emb = np.asarray(self.encode_fn(batch_graphs(graphs)))
-            out.append(emb[: len(chunk)])
-        return np.concatenate(out, axis=0)
+        loader = SessionGraphLoader(
+            norm, self.tokenizer, self.cfg.dims, self.batch_size,
+            shuffle=False, ignore_query=self.cfg.ignore_query, cache=False,
+            prefetch=self.prefetch, workers=self.workers,
+        )
+        try:
+            out = [np.asarray(self.encode_fn(b)) for b in loader]
+        finally:
+            loader.close()
+        # the loader wrap-pads the final batch; rows stay in input order
+        return np.concatenate(out, axis=0)[: len(norm)]
 
 
 def run_dense_search(
