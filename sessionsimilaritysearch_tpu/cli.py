@@ -273,6 +273,15 @@ def cmd_evaluate(args):
     from sessionsimilaritysearch_tpu.models import build_text_session_encoder
     from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
 
+    if args.mode == "load":
+        # recompute the metric suite from a saved search run (the
+        # reference's load-the-pickled-D/I flow, test_amazon_filterd.py)
+        assert args.results, "--mode load requires --results PATH"
+        rep = harness.evaluate_loaded(args.results)
+        print(json.dumps({"mode": "load",
+                          **{k: round(float(v), 4) for k, v in rep.items()}}))
+        return
+
     cfg = _config(args)
     data = _dataset(args, cfg)
     n_test = max(len(data) // 10, 1)
@@ -312,6 +321,11 @@ def cmd_evaluate(args):
         res = harness.evaluate_encoder(
             cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
             batch_size=64,
+        )
+    if args.save_results:
+        harness.save_results(
+            args.save_results, res.D, res.I, test_data,
+            [d[0] for d in corpus_data],
         )
     out = {
         "mode": args.mode,
@@ -384,8 +398,12 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="end-to-end retrieval evaluation")
     _common(p)
     p.add_argument("--mode", default="model",
-                   choices=["model", "STAN", "SKNN", "knn"])
+                   choices=["model", "STAN", "SKNN", "knn", "load"])
     p.add_argument("--k", type=int, default=20)
+    p.add_argument("--save-results", default=None, metavar="PATH",
+                   help="pickle D/I + sessions for later --mode load")
+    p.add_argument("--results", default=None, metavar="PATH",
+                   help="saved results file for --mode load")
 
     p = sub.add_parser("etl", help="sessions <-> CSV round trip")
     _common(p)

@@ -13,6 +13,7 @@ from sessionsimilaritysearch_tpu.data.schema import (  # noqa: F401
 from sessionsimilaritysearch_tpu.data.graph import (  # noqa: F401
     SessionGraph,
     batch_graphs,
+    build_graph_batch,
     sequence_to_graph,
 )
 from sessionsimilaritysearch_tpu.data.synthetic import (  # noqa: F401

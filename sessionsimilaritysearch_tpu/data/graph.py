@@ -297,6 +297,73 @@ def sequence_to_graph(
     )
 
 
+def build_graph_batch(
+    data: Sequence,
+    tokenizer,
+    dims: GraphDims,
+    indices: Sequence[int] | None = None,
+    ignore_query: bool = False,
+) -> SessionGraph:
+    """Build a whole padded batch from raw (prefix, future) pairs.
+
+    With the hashing tokenizer and the native library present, the entire
+    transform — tokenization included — runs as ONE C call over pre-zeroed
+    batch arrays (native/graph_builder.cpp, OpenMP over sessions); this is
+    the host hot path that bounds corpus embedding (the reference's
+    dataloader-side cost, util_amazon_filtered.py:98-230 per session).
+    Otherwise it is exactly ``batch_graphs([sequence_to_graph(...)])``.
+    Bit-equivalence of the two paths is pinned by tests/test_native.py.
+    """
+    from sessionsimilaritysearch_tpu import native as _native
+    from sessionsimilaritysearch_tpu.tokenizer import HashTokenizer
+
+    idxs = list(indices) if indices is not None else list(range(len(data)))
+    assert len(idxs) == len(data)
+    if isinstance(tokenizer, HashTokenizer) and data:
+        B = len(data)
+        T, Q, P, O = (
+            dims.token_len,
+            dims.max_query_nodes,
+            dims.max_product_nodes,
+            dims.max_occurrences,
+        )
+        TgP, TgQ, TXT = (
+            dims.max_target_products,
+            dims.max_target_queries,
+            dims.max_text_sentences,
+        )
+        i32, f32 = np.int32, np.float32
+        # SessionGraph field order; graph_builder.cpp writes by position
+        shapes = [
+            ((B, Q, T), i32), ((B, Q, T), i32), ((B, Q, T), i32),
+            ((B, Q), i32), ((B, Q), f32), ((B, Q), f32),
+            ((B, P), i32), ((B, P, T), i32), ((B, P, T), i32),
+            ((B, P, T), i32), ((B, P), i32), ((B, P), f32), ((B, P), f32),
+            ((B, O), i32), ((B, O), i32), ((B, O), f32),
+            ((B, Q, P), f32), ((B, P, P), f32),
+            ((B, TgP), i32), ((B, TgP), f32), ((B, TgP), i32),
+            ((B, TgP, T), i32), ((B, TgP, T), i32), ((B, TgP, T), i32),
+            ((B, TgQ, T), i32), ((B, TgQ, T), i32), ((B, TgQ, T), i32),
+            ((B, TgQ), f32), ((B, TgQ), f32),
+            ((B, TXT, T), i32), ((B, TXT, T), i32), ((B, TXT, T), i32),
+            ((B, TXT), f32),
+            ((B,), i32), ((B,), i32),
+        ]
+        outs = [np.zeros(s, dtype=d) for s, d in shapes]
+        dims8 = [T, Q, P, O, TgP, TgQ, TXT, dims.max_seq_len]
+        ok = _native.build_graph_batch(
+            [d[0] for d in data], [d[1] for d in data], idxs, dims8,
+            tokenizer.vocab_size, ignore_query, outs,
+        )
+        if ok:
+            return SessionGraph(*outs)
+    return batch_graphs([
+        sequence_to_graph(i, seq, tar, tokenizer, dims,
+                          ignore_query=ignore_query)
+        for i, (seq, tar) in zip(idxs, data)
+    ])
+
+
 def batch_graphs(graphs: Sequence[SessionGraph]) -> SessionGraph:
     """Stack fixed-shape session graphs into a batch along a new leading axis.
 

@@ -23,7 +23,7 @@ from sessionsimilaritysearch_tpu.config import GraphDims
 from sessionsimilaritysearch_tpu.data.graph import (
     SessionGraph,
     batch_graphs,
-    sequence_to_graph,
+    build_graph_batch,
 )
 
 # --- multiprocess graph building -------------------------------------------
@@ -43,14 +43,10 @@ def _pool_init(data, tokenizer, dims, ignore_query):
 
 def _pool_build_batch(indices):
     s = _POOL_STATE
-    graphs = [
-        sequence_to_graph(
-            int(i), s["data"][int(i)][0], s["data"][int(i)][1],
-            s["tokenizer"], s["dims"], ignore_query=s["ignore_query"],
-        )
-        for i in indices
-    ]
-    return batch_graphs(graphs)
+    return build_graph_batch(
+        [s["data"][int(i)] for i in indices], s["tokenizer"], s["dims"],
+        indices=[int(i) for i in indices], ignore_query=s["ignore_query"],
+    )
 
 
 class SessionGraphLoader:
@@ -92,7 +88,16 @@ class SessionGraphLoader:
         self._pool: Optional[ProcessPoolExecutor] = None
         self._cache: Optional[List[SessionGraph]] = None
         if cache and transform is None:
-            self._cache = [self._build(i) for i in range(len(self.data))]
+            # one native whole-corpus build, sliced back into per-session
+            # graphs (row views of a batched SessionGraph are exactly the
+            # unbatched layout)
+            big = build_graph_batch(
+                self.data, tokenizer, dims, ignore_query=ignore_query,
+            ) if len(self.data) else None
+            self._cache = [
+                SessionGraph(*[f[i] for f in big])
+                for i in range(len(self.data))
+            ] if big is not None else []
 
     def _get_pool(self) -> ProcessPoolExecutor:
         if self._pool is None:
@@ -122,15 +127,6 @@ class SessionGraphLoader:
             self.close()
         except Exception:
             pass
-
-    def _build(self, i: int) -> SessionGraph:
-        seq, tar = self.data[i]
-        if self.transform is not None:
-            seq, tar = self.transform((seq, tar), self.rng)
-        return sequence_to_graph(
-            i, seq, tar, self.tokenizer, self.dims,
-            ignore_query=self.ignore_query,
-        )
 
     def __len__(self) -> int:
         n = len(self.data)
@@ -165,10 +161,19 @@ class SessionGraphLoader:
             return
         for sel in selections:
             if self._cache is not None:
-                graphs = [self._cache[i] for i in sel]
+                yield batch_graphs([self._cache[i] for i in sel])
+                continue
+            if self.transform is not None:
+                pairs = [
+                    self.transform(self.data[int(i)], self.rng) for i in sel
+                ]
             else:
-                graphs = [self._build(int(i)) for i in sel]
-            yield batch_graphs(graphs)
+                pairs = [self.data[int(i)] for i in sel]
+            yield build_graph_batch(
+                pairs, self.tokenizer, self.dims,
+                indices=[int(i) for i in sel],
+                ignore_query=self.ignore_query,
+            )
 
     def __iter__(self) -> Iterator[SessionGraph]:
         if self.prefetch <= 0:
@@ -244,17 +249,15 @@ class ContrastiveViewLoader:
         # regenerate the same index order as the base loader by sharing it:
         # iterate base batches and rebuild the view from the graphs' idx
         for batch in self.base:
-            idxs = np.asarray(batch.idx).tolist()
-            view_graphs = []
-            for i in idxs:
-                seq, tar = self.view_transform(self.base.data[int(i)], self.rng)
-                view_graphs.append(
-                    sequence_to_graph(
-                        int(i), seq, tar, self.base.tokenizer, self.base.dims,
-                        ignore_query=self.base.ignore_query,
-                    )
-                )
-            yield batch, batch_graphs(view_graphs)
+            idxs = [int(i) for i in np.asarray(batch.idx)]
+            pairs = [
+                self.view_transform(self.base.data[i], self.rng)
+                for i in idxs
+            ]
+            yield batch, build_graph_batch(
+                pairs, self.base.tokenizer, self.base.dims, indices=idxs,
+                ignore_query=self.base.ignore_query,
+            )
 
 
 class TupleLoader:

@@ -10,6 +10,9 @@ latency/QPS counters.
 
 from __future__ import annotations
 
+import pickle
+import queue as queue_mod
+import threading
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -20,6 +23,16 @@ from sessionsimilaritysearch_tpu.config import Config
 from sessionsimilaritysearch_tpu.evalharness import metrics as metrics_mod
 from sessionsimilaritysearch_tpu.index.dense import DenseIndex
 from sessionsimilaritysearch_tpu.utils.profiling import PhaseTimer
+
+
+def _session_key(sess) -> tuple:
+    """Hashable content digest of a session: (type, asin, text) per action —
+    exactly the fields the graph transform reads, so two sessions with equal
+    keys embed identically."""
+    return tuple(
+        (a[1], 0, a[2]) if a[1] == "s" else (a[1], int(a[-1]), a[-2])
+        for a in sess
+    )
 
 
 class SessionSearchEngine:
@@ -62,6 +75,13 @@ class SessionSearchEngine:
         self._pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
         # sessions waiting until a full stripe is available (sharded mode)
         self._pending: List = []
+        # background ingest (add_sessions_async / flush)
+        self._ingest_q: Optional[queue_mod.Queue] = None
+        self._ingest_thread: Optional[threading.Thread] = None
+        self._ingest_err: List[BaseException] = []
+        self._ingest_lock = threading.Lock()
+        # canonical key per inserted session, for query-time dedup
+        self._canon: List = []
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -98,6 +118,10 @@ class SessionSearchEngine:
         duplicate rows are ever inserted -- duplicates would occupy top-k
         slots and double-count in reports.
         """
+        with self._ingest_lock:
+            self._add_locked(data)
+
+    def _add_locked(self, data: Sequence) -> None:
         self._pending.extend(data)
         m = (len(self._pending) // self._pad_to) * self._pad_to
         if m == 0:
@@ -107,26 +131,97 @@ class SessionSearchEngine:
         with self.timer("insert"):
             self.index.add(emb)
             jax.block_until_ready(self.index._buf)  # time the device work
-        self.sessions.extend(
-            d[0] if isinstance(d, tuple) and len(d) == 2 else d
-            for d in batch
-        )
+        for d in batch:
+            sess = d[0] if isinstance(d, tuple) and len(d) == 2 else d
+            self.sessions.append(sess)
+            self._canon.append(_session_key(sess))
 
     # ------------------------------------------------------------------
-    def search(self, data: Sequence, k: Optional[int] = None):
+    # Background ingest: encode+insert off the caller's thread so serving
+    # threads keep answering queries while new sessions stream in (the
+    # reference has no streaming path at all -- its index is built once,
+    # test_amazon_filterd.py:207-223).
+    def add_sessions_async(self, data: Sequence) -> None:
+        """Queue sessions for background encode+insert. Failures surface on
+        the next :meth:`flush` (or :meth:`close`)."""
+        if self._ingest_thread is None:
+            self._ingest_q = queue_mod.Queue()
+            self._ingest_thread = threading.Thread(
+                target=self._ingest_loop, daemon=True
+            )
+            self._ingest_thread.start()
+        self._ingest_q.put(list(data))
+
+    def _ingest_loop(self) -> None:
+        while True:
+            item = self._ingest_q.get()
+            try:
+                if item is None:
+                    return
+                with self._ingest_lock:
+                    self._add_locked(item)
+            except BaseException as e:
+                self._ingest_err.append(e)
+            finally:
+                self._ingest_q.task_done()
+
+    def flush(self) -> None:
+        """Block until all queued background inserts are in the index; the
+        stripe remainder (sharded mode) stays pending as for add_sessions."""
+        if self._ingest_q is not None:
+            self._ingest_q.join()
+        if self._ingest_err:
+            raise self._ingest_err.pop(0)
+
+    def close(self) -> None:
+        if self._ingest_thread is not None:
+            self.flush()
+            self._ingest_q.put(None)
+            self._ingest_thread.join()
+            self._ingest_thread = None
+            self._ingest_q = None
+
+    # ------------------------------------------------------------------
+    def search(self, data: Sequence, k: Optional[int] = None,
+               dedup: bool = False):
         """Full query path: sessions -> embed -> exact top-k.
-        Returns (D, I)."""
+        Returns (D, I). With ``dedup=True``, hits whose stored session
+        duplicates an earlier hit's (same actions, e.g. inserted twice by a
+        re-played stream) are dropped and backfilled from deeper ranks."""
         k = k or self.cfg.retrieval_k
         emb = self.embed(data)
         t0 = time.perf_counter()
-        D, I = self.index.search(emb, k)
+        D, I = self.search_embeddings(emb, k, dedup=dedup)
         self.timer.totals["search"] += time.perf_counter() - t0
         self.timer.counts["search"] += 1
         return D, I
 
-    def search_embeddings(self, emb, k: Optional[int] = None):
+    def search_embeddings(self, emb, k: Optional[int] = None,
+                          dedup: bool = False):
         k = k or self.cfg.retrieval_k
-        return self.index.search(np.asarray(emb), k)
+        if not dedup:
+            return self.index.search(np.asarray(emb), k)
+        # over-fetch so dropped duplicates can be backfilled
+        k2 = min(max(2 * k, k + 8), max(self.index.ntotal, 1))
+        D2, I2 = self.index.search(np.asarray(emb), k2)
+        D = np.full((I2.shape[0], k), -np.inf, dtype=D2.dtype)
+        I = np.full((I2.shape[0], k), -1, dtype=I2.dtype)
+        for r in range(I2.shape[0]):
+            seen = set()
+            w = 0
+            for c in range(k2):
+                gid = int(I2[r, c])
+                if gid < 0:
+                    break
+                key = self._canon[gid] if gid < len(self._canon) else gid
+                if key in seen:
+                    continue
+                seen.add(key)
+                D[r, w], I[r, w] = D2[r, c], gid
+                w += 1
+                if w == k:
+                    break
+        return D, I
 
     # ------------------------------------------------------------------
     def report(self, test_data: Sequence, I, D=None) -> dict:
@@ -139,3 +234,45 @@ class SessionSearchEngine:
         s["ntotal"] = self.index.ntotal
         s["pending"] = len(self._pending)
         return s
+
+    # ------------------------------------------------------------------
+    # Snapshot / restore (reference: faiss.write_index/read_index plus the
+    # pickled session lists the metric suite reads; here one prefix carries
+    # both halves of the serving state)
+    def save(self, prefix: str) -> None:
+        """Snapshot corpus + sessions to ``prefix + '.index.npz'`` and
+        ``prefix + '.sessions.pkl'``. Queued background inserts are flushed
+        first; the stripe remainder is persisted and re-buffered on restore.
+        """
+        self.flush()
+        with self._ingest_lock:
+            self.index.save(prefix + ".index")
+            with open(prefix + ".sessions.pkl", "wb") as f:
+                pickle.dump(
+                    {"sessions": self.sessions, "pending": self._pending},
+                    f,
+                )
+
+    def restore(self, prefix: str) -> None:
+        """Load a snapshot into this engine (same mesh/metric setup). The
+        encoder is not part of the snapshot — pair with the training
+        checkpoints (utils/checkpoint.py) for full state."""
+        from sessionsimilaritysearch_tpu.index.sharded import (
+            ShardedDenseIndex,
+        )
+
+        with self._ingest_lock:
+            if isinstance(self.index, ShardedDenseIndex):
+                self.index = ShardedDenseIndex.load(
+                    prefix + ".index", mesh=self.index.mesh,
+                    mode=self.index.mode,
+                )
+            else:
+                self.index = DenseIndex.load(
+                    prefix + ".index", capacity=self.index.capacity
+                )
+            with open(prefix + ".sessions.pkl", "rb") as f:
+                blob = pickle.load(f)
+            self.sessions = list(blob["sessions"])
+            self._pending = list(blob["pending"])
+            self._canon = [_session_key(s) for s in self.sessions]

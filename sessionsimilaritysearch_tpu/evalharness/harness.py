@@ -228,3 +228,45 @@ def evaluate_sparse(
         D, I, 0.0, t1 - t0, t2 - t1, search_s,
         len(test_data) / search_s if search_s > 0 else float("inf"), report,
     )
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-results round trip: the reference's 'load' evaluation mode
+# (test_amazon_filterd.py main2 loads pickled D/I produced by an earlier
+# search run and recomputes the metric suite without re-searching).
+# ---------------------------------------------------------------------------
+
+def save_results(path: str, D, I, test_data: Sequence,
+                 corpus_sessions: Sequence) -> None:
+    """Persist a search run: retrieved scores/ids plus the sessions the
+    metric suite needs to recompute ground truth later."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "D": None if D is None else np.asarray(D),
+                "I": np.asarray(I),
+                "test_data": list(test_data),
+                "corpus_sessions": list(corpus_sessions),
+            },
+            f,
+        )
+
+
+def load_results(path: str) -> dict:
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    for key in ("I", "test_data", "corpus_sessions"):
+        assert key in blob, f"results file missing '{key}'"
+    return blob
+
+
+def evaluate_loaded(path: str) -> dict:
+    """The 'load' mode: full metric report from a saved search run."""
+    blob = load_results(path)
+    return metrics.full_report(
+        blob.get("D"), blob["I"], blob["test_data"], blob["corpus_sessions"]
+    )

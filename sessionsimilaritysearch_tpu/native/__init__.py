@@ -75,6 +75,18 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "build_graph_batch"):  # absent in pre-rebuild .so files
+        _stream = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p,
+        ]
+        lib.build_graph_batch.restype = None
+        lib.build_graph_batch.argtypes = _stream + _stream + [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
     _lib = lib
     return lib
 
@@ -129,6 +141,98 @@ def tokenize_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+_TYPE_CODE = {"s": 0, "c": 1, "ca": 2, "p": 3}
+
+
+def _marshal_stream(sessions: Sequence[Sequence]):
+    """Flatten action lists into the C stream layout (graph_builder.cpp):
+    per-session offsets, per-action type codes / asin ids / text blob with
+    offsets and None flags. Text is keyword for searches, title otherwise
+    (the only fields sequence_to_graph reads)."""
+    off = np.zeros(len(sessions) + 1, dtype=np.int32)
+    types: List[int] = []
+    asins: List[int] = []
+    nulls: List[int] = []
+    chunks: List[bytes] = []
+    toff: List[int] = [0]
+    total = 0
+    for si, acts in enumerate(sessions):
+        total += len(acts)
+        off[si + 1] = total
+        for a in acts:
+            t = a[1]
+            if t == "s":
+                types.append(0)
+                asins.append(0)
+                txt = a[2]
+            else:
+                # unknown click kinds behave like 'c' (CLICK_TYPE_IDS.get)
+                types.append(_TYPE_CODE.get(t, 1))
+                asins.append(int(a[-1]))
+                txt = a[-2]
+            if txt is None:
+                nulls.append(1)
+                b = b""
+            else:
+                nulls.append(0)
+                b = txt.encode("utf-8")
+            chunks.append(b)
+            toff.append(toff[-1] + len(b))
+    return (
+        off,
+        np.asarray(types, dtype=np.uint8),
+        np.asarray(asins, dtype=np.int32),
+        np.asarray(toff, dtype=np.int64),
+        np.asarray(nulls, dtype=np.uint8),
+        b"".join(chunks),
+    )
+
+
+def build_graph_batch(
+    seqs: Sequence,
+    tars: Sequence,
+    idxs: Sequence[int],
+    dims8: Sequence[int],
+    vocab_size: int,
+    ignore_query: bool,
+    outs: Sequence[np.ndarray],
+) -> bool:
+    """Fill the 35 pre-zeroed SessionGraph batch arrays in one C call.
+
+    Returns False (arrays untouched) when the native library is unavailable
+    or predates the builder; the caller falls back to the Python path.
+    """
+    lib = load()
+    if lib is None or not hasattr(lib, "build_graph_batch"):
+        return False
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    def p8(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    s = _marshal_stream(seqs)
+    t = _marshal_stream(tars)
+    idx_arr = np.ascontiguousarray(idxs, dtype=np.int32)
+    dims_arr = np.ascontiguousarray(dims8, dtype=np.int32)
+    for o in outs:
+        assert o.flags["C_CONTIGUOUS"], "outputs must be C-contiguous"
+    out_ptrs = (ctypes.c_void_p * len(outs))(
+        *[o.ctypes.data for o in outs]
+    )
+    lib.build_graph_batch(
+        p32(s[0]), p8(s[1]), p32(s[2]), p64(s[3]), p8(s[4]), s[5],
+        p32(t[0]), p8(t[1]), p32(t[2]), p64(t[3]), p8(t[4]), t[5],
+        p32(idx_arr), len(seqs), p32(dims_arr),
+        int(vocab_size), int(bool(ignore_query)), out_ptrs,
+    )
+    return True
 
 
 def topk_oracle(

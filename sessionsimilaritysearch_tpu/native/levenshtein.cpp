@@ -20,6 +20,8 @@
 #include <string>
 #include <vector>
 
+#include "tokenize_inl.h"
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -100,65 +102,14 @@ void lev_string_match(const char** a, const size_t* a_lens, size_t na,
 // Hashing tokenizer hot loop (mirrors tokenizer.HashTokenizer exactly)
 // ---------------------------------------------------------------------------
 
-static uint64_t fnv1a(const char* s, size_t n) {
-  uint64_t h = 0xCBF29CE484222325ull;
-  for (size_t i = 0; i < n; ++i) {
-    h ^= (uint8_t)s[i];
-    h *= 0x100000001B3ull;
-  }
-  return h;
-}
-
 // Tokenize n texts into out[n * max_len] int32 ids (pad 0, cls 2, sep 3;
 // word ids in [5, vocab)). Word split: [a-z0-9]+ over lowercased input.
+// Inner loop shared with the graph builder (tokenize_inl.h).
 void tokenize_batch(const char** texts, const size_t* lens, size_t n,
                     int32_t max_len, int32_t vocab_size, int32_t* out) {
-  const int32_t CLS = 2, SEP = 3, NUM_SPECIAL = 5;
-  for (size_t t = 0; t < n; ++t) {
-    int32_t* row = out + (size_t)t * max_len;
-    std::memset(row, 0, sizeof(int32_t) * max_len);
-    std::vector<int32_t> ids;
-    ids.push_back(CLS);
-    const char* s = texts[t];
-    size_t len = lens[t];
-    size_t i = 0;
-    while (i < len && (int32_t)ids.size() < max_len + 8) {
-      // find next alphanumeric run (lowercased)
-      while (i < len) {
-        char c = s[i];
-        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-            (c >= '0' && c <= '9'))
-          break;
-        ++i;
-      }
-      size_t start = i;
-      std::string word;
-      while (i < len) {
-        char c = s[i];
-        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-          word.push_back(c);
-        } else if (c >= 'A' && c <= 'Z') {
-          word.push_back(c - 'A' + 'a');
-        } else {
-          break;
-        }
-        ++i;
-      }
-      if (i == start) break;
-      ids.push_back(NUM_SPECIAL +
-                    (int32_t)(fnv1a(word.data(), word.size()) %
-                              (uint64_t)(vocab_size - NUM_SPECIAL)));
-    }
-    ids.push_back(SEP);
-    // truncation rule matches HashTokenizer.encode_one: if over max_len,
-    // cut to max_len - 1 and append SEP
-    if ((int32_t)ids.size() > max_len) {
-      ids.resize(max_len - 1);
-      ids.push_back(SEP);
-    }
-    for (size_t j = 0; j < ids.size() && (int32_t)j < max_len; ++j)
-      row[j] = ids[j];
-  }
+  for (size_t t = 0; t < n; ++t)
+    sss::tokenize_row(texts[t], lens[t], max_len, vocab_size,
+                      out + (size_t)t * max_len);
 }
 
 // ---------------------------------------------------------------------------

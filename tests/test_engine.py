@@ -77,3 +77,95 @@ class TestEngine:
         # a late row is findable under its global insertion id
         D2, I2 = eng.search([data[16][0]], k=1)
         assert I2[0, 0] == 16
+
+    def test_async_ingest_and_flush(self, engine_parts, gen, tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(24)
+        eng.add_sessions_async(data[:12])
+        eng.add_sessions_async(data[12:])
+        eng.flush()
+        assert eng.index.ntotal == 24
+        # identical to the synchronous path
+        ref = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        ref.add_sessions(data)
+        D1, I1 = eng.search(data[:4], k=3)
+        D2, I2 = ref.search(data[:4], k=3)
+        np.testing.assert_array_equal(I1, I2)
+        eng.close()
+
+    def test_dedup_search(self, engine_parts, gen, tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(10)
+        eng.add_sessions(data)
+        eng.add_sessions(data[:3])  # replayed stream: rows 10-12 dup 0-2
+        D, I = eng.search(data[:3], k=4, dedup=False)
+        # without dedup the duplicate occupies a top slot (cos ties)
+        first_two = set(I[0, :2].tolist())
+        assert first_two == {0, 10}
+        Dd, Id = eng.search(data[:3], k=4, dedup=True)
+        for r in range(3):
+            kept = [i for i in Id[r] if i >= 0]
+            keys = [eng._canon[i] for i in kept]
+            assert len(set(keys)) == len(keys)  # no duplicate sessions
+        assert Id[0, 0] in (0, 10)
+        assert 10 not in Id[0] or 0 not in Id[0]
+
+    def test_snapshot_restore(self, engine_parts, gen, tokenizer, tmp_path):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(15)
+        eng.add_sessions(data)
+        D1, I1 = eng.search(data[:4], k=3)
+        prefix = str(tmp_path / "snap")
+        eng.save(prefix)
+        fresh = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        fresh.restore(prefix)
+        assert fresh.index.ntotal == 15
+        assert len(fresh.sessions) == 15
+        D2, I2 = fresh.search(data[:4], k=3)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, atol=1e-6)
+        rep = fresh.report(data[:4], I2)
+        assert "ave_all_jaccard" in rep
+
+    def test_sharded_snapshot_restore(self, engine_parts, gen, tokenizer,
+                                      tmp_path):
+        cfg, encode_fn = engine_parts
+        mesh = create_mesh()
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            mesh=mesh, batch_size=8,
+        )
+        data = gen.dataset(20)
+        eng.add_sessions(data)  # 16 inserted, 4 pending
+        prefix = str(tmp_path / "snap")
+        eng.save(prefix)
+        fresh = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            mesh=mesh, batch_size=8,
+        )
+        fresh.restore(prefix)
+        assert fresh.index.ntotal == 16
+        assert fresh.stats()["pending"] == 4
+        D, I = fresh.search(data[:5], k=3)
+        np.testing.assert_array_equal(I[:, 0], np.arange(5))
+        # pending tail resumes striping after restore
+        fresh.add_sessions(gen.dataset(4))
+        assert fresh.index.ntotal == 24

@@ -91,3 +91,64 @@ class TestNativeOracle:
         ov, oi = oracle_topk_np(queries, corpus, 5)
         np.testing.assert_allclose(nv, ov, rtol=1e-5)
         np.testing.assert_array_equal(ni, oi)
+
+
+class TestNativeGraphBuilder:
+    """Bit-exactness of the C++ whole-batch builder (graph_builder.cpp)
+    against the Python reference path sequence_to_graph + batch_graphs."""
+
+    @staticmethod
+    def _edge_sessions():
+        from sessionsimilaritysearch_tpu.data.schema import Action
+
+        def S(kw=None):
+            return Action(0.0, "s", kw, None, None, None, None, 0)
+
+        def C(aid, title="", kind="c"):
+            return Action(0.0, kind, None, f"A{aid}", "t", "b", title, aid)
+
+        return [
+            ([], []),                                 # empty prefix + future
+            ([S("hello")], []),                       # searches only
+            ([S(None), S("")], [S(None)]),            # None keywords
+            ([C(5, None)], []),                       # None title
+            ([C(1, "x"), C(1, "y"), C(1, "x")], []),  # repeats, title drift
+            ([C(i % 3, f"t{i}") for i in range(30)], []),  # > max_seq_len
+            ([S("a")] * 25 + [C(2, "z")], []),        # > Q search actions
+            ([C(1, "p1"), S("q"), C(2, "p2", "ca"), C(1, "p1"),
+              C(3, "p3", "p")],
+             [C(9, "f9", "p"), S("fq"), C(9, "f9"), C(8, None, "ca"),
+              S(None)]),
+            ([S("q1"), C(4, "AbC-123! x")], [S("only future query")]),
+            ([C(7, "seven")], [C(7, "seven2")]),
+        ]
+
+    @pytest.mark.parametrize("ignore_query", [False, True])
+    def test_matches_python_builder(self, ignore_query):
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.data import (
+            SessionGraph,
+            SyntheticSessionGenerator,
+            batch_graphs,
+            build_graph_batch,
+            sequence_to_graph,
+        )
+        from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+
+        cfg = tiny_test_config()
+        tok = get_tokenizer(cfg.vocab_size)
+        gen = SyntheticSessionGenerator(asin_num=200, seed=9)
+        data = self._edge_sessions() + gen.dataset(40)
+        idxs = list(range(100, 100 + len(data)))
+        nat = build_graph_batch(
+            data, tok, cfg.dims, indices=idxs, ignore_query=ignore_query
+        )
+        ref = batch_graphs([
+            sequence_to_graph(i, s, t, tok, cfg.dims,
+                              ignore_query=ignore_query)
+            for i, (s, t) in zip(idxs, data)
+        ])
+        for name, a, b in zip(SessionGraph._fields, nat, ref):
+            assert a.dtype == b.dtype, name
+            assert a.shape == b.shape, name
+            np.testing.assert_array_equal(a, b, err_msg=name)
