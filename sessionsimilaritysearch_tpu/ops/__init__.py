@@ -4,6 +4,8 @@ from sessionsimilaritysearch_tpu.ops.topk import (  # noqa: F401
     l2_normalize,
     merge_topk,
     oracle_topk_np,
+    recall_at_k,
+    value_recall_at_k,
 )
 from sessionsimilaritysearch_tpu.ops.hamming import (  # noqa: F401
     hamming_topk,

@@ -252,3 +252,46 @@ def recall_at_k(found_idx: np.ndarray, true_idx: np.ndarray) -> float:
     for f, t in zip(found_idx, true_idx):
         hits += len(set(f.tolist()) & set(t.tolist()))
     return hits / true_idx.size
+
+
+def value_recall_at_k(
+    found_idx: np.ndarray,
+    queries: np.ndarray,
+    corpus: np.ndarray,
+    k: int,
+    metric: str = "ip",
+    rel_tol: float = 0.0,
+) -> float:
+    """Tie/precision-aware recall: a retrieved row counts as correct when
+    its TRUE (f64) score reaches the oracle's k-th score within ``rel_tol``
+    (relative to the per-query score scale).
+
+    Index-set recall (``recall_at_k``) under-reads exact engines whenever
+    candidates are separated by less than the score dtype's resolution —
+    duplicate corpus rows, near-degenerate embeddings (docs/RESULTS.md), or
+    bf16-scored scans: the retrieved set differs from the oracle's while
+    every retrieved row is as close to the query. Comparing values instead
+    of ids measures what retrieval quality actually is. With
+    ``rel_tol=0`` this equals set recall when all scores are distinct but
+    also credits exact ties.
+    """
+    found_idx = np.asarray(found_idx)
+    queries = np.asarray(queries, np.float64)
+    corpus = np.asarray(corpus, np.float64)
+    assert found_idx.shape[1] >= k
+    found_idx = found_idx[:, :k]
+    if metric == "l2":
+        scores = (
+            2.0 * queries @ corpus.T
+            - (queries**2).sum(-1, keepdims=True)
+            - (corpus**2).sum(-1)[None, :]
+        )
+    else:
+        scores = queries @ corpus.T
+    kth = -np.sort(-scores, axis=1)[:, k - 1]  # oracle's k-th best score
+    scale = np.maximum(np.abs(scores).max(axis=1), 1e-30)
+    got = np.take_along_axis(
+        scores, np.maximum(found_idx, 0).astype(np.int64), axis=1
+    )
+    ok = (got >= (kth - rel_tol * scale)[:, None]) & (found_idx >= 0)
+    return float(ok.mean())

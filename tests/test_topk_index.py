@@ -222,3 +222,29 @@ class TestScoreDtype:
         np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
                                    rtol=2e-2, atol=1e-2)
         assert recall_at_k(np.asarray(i16), np.asarray(i32)) > 0.85
+
+    def test_value_recall_credits_ties_and_bf16(self, data, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        # exact duplicate rows: index-set recall cannot distinguish which
+        # copy the engine returns, value recall credits either
+        base = rng.standard_normal((64, 32)).astype(np.float32)
+        corpus = np.concatenate([base, base[:16]])  # rows 64..79 dup 0..15
+        q = base[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32)
+        _, i_dev = chunked_topk(jnp.asarray(q), jnp.asarray(corpus), 5,
+                                chunk_size=64)
+        assert value_recall_at_k(i_dev, q, corpus, 5) == 1.0
+
+        # bf16-scored scan over well-separated data: every retrieved row's
+        # true score reaches the oracle's k-th within 2 bf16 ulps
+        qq, cc = data
+        _, i16 = chunked_topk(jnp.asarray(qq), jnp.asarray(cc), 10,
+                              chunk_size=256, score_dtype=jnp.bfloat16)
+        vr = value_recall_at_k(np.asarray(i16), qq, cc, 10,
+                               rel_tol=2 * 2.0**-8)
+        assert vr == 1.0, vr
+        # and a genuinely wrong result is NOT credited
+        wrong = np.zeros_like(np.asarray(i16))
+        worst = np.argmin(qq @ cc.T, axis=1)
+        wrong[:] = worst[:, None]
+        assert value_recall_at_k(wrong, qq, cc, 10) < 0.2
