@@ -270,3 +270,61 @@ def evaluate_loaded(path: str) -> dict:
     return metrics.full_report(
         blob.get("D"), blob["I"], blob["test_data"], blob["corpus_sessions"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog title-embedding cache: titles repeat across sessions, so corpus
+# builds can encode each distinct catalog title ONCE and gather by asin id
+# (GraphLevelEncoder(title_table=...)). The reference re-encodes the title
+# text of every product node of every session (model/model.py:192-260 via
+# NodeEmbedding); at 3M sessions x ~20 product nodes that is ~150x redundant
+# text-encoder work for a 391k-item catalog.
+# ---------------------------------------------------------------------------
+
+def build_title_table(
+    cfg: Config,
+    tokenizer,
+    titles: Sequence[str],
+    encoder,
+    params,
+    batch_size: int = 1024,
+) -> jnp.ndarray:
+    """[len(titles), d_text] device table: ``titles[i]`` embedded with the
+    encoder's text backbone, for ``GraphLevelEncoder.__call__(title_table=)``.
+    ``titles`` must be the CANONICAL catalog titles keyed by asin id — the
+    same strings the graph transform tokenizes. Caveat: the no-product
+    placeholder node (asin 0, 'UNK' text, data/graph.py:161-162) gathers
+    asin 0's real title under the cache; only degenerate sessions with zero
+    product interactions are affected."""
+    import jax.numpy as _jnp
+
+    fwd = jax.jit(
+        lambda ids, typ, att: encoder.apply(
+            params, ids, typ, att, method="embed_texts"
+        )
+    )
+    out = []
+    n = len(titles)
+    for s in range(0, n, batch_size):
+        chunk = [t if t is not None else "" for t in titles[s : s + batch_size]]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = chunk + [""] * pad
+        tok = tokenizer(chunk, max_length=cfg.dims.token_len)
+        emb = fwd(
+            _jnp.asarray(tok["input_ids"]),
+            _jnp.asarray(tok["token_type_ids"]),
+            _jnp.asarray(tok["attention_mask"]),
+        )
+        out.append(np.asarray(emb)[: len(chunk) - pad if pad else None])
+    return _jnp.asarray(np.concatenate(out, axis=0))
+
+
+def make_cached_encode_fn(encoder, params, title_table) -> Callable:
+    """Jitted ``graph -> [B, d]`` closure-safe encode fn: the table rides as
+    a traced argument (a closure capture would bake the multi-MB table into
+    the program as a constant)."""
+    jitted = jax.jit(
+        lambda g, tbl: encoder.apply(params, g, title_table=tbl)
+    )
+    return lambda g: jitted(g, title_table)

@@ -89,6 +89,13 @@ class GraphLevelEncoder(nn.Module):
     query_pooling: nn.Module
     use_id_embedding: bool = True
 
+    def embed_texts(self, ids, typ, att, deterministic: bool = True):
+        """Text backbone over bare [N, T] token rows — the builder hook for
+        the catalog title-embedding cache (see ``title_table`` below)."""
+        return self.query_node_embedder(
+            ids, typ, att, deterministic=deterministic
+        )
+
     def __call__(
         self,
         graph,
@@ -96,27 +103,50 @@ class GraphLevelEncoder(nn.Module):
         product_node_mask=None,
         get_node: bool = False,
         deterministic: bool = True,
+        title_table=None,
     ):
-        # one fused text pass over both node stores (same embedder params;
-        # a single [B*(Q+P), T] kernel utilizes the MXU better than two
-        # smaller ones)
+        """``title_table``: optional [asin_num, d_text] catalog of
+        precomputed title embeddings (built via :meth:`embed_texts` over the
+        canonical catalog titles). When given, product node text embeddings
+        become a gather by ``graph.product_asin`` instead of a text-encoder
+        pass — titles repeat across sessions, so corpus builds skip almost
+        all text-encoder FLOPs (with ignore_query only the constant root
+        query node still runs it). Identical output to the uncached path
+        when catalog titles match the session titles (tests/test_models.py).
+        Pass the table as a traced argument, never a closure capture."""
         Q = graph.query_input_ids.shape[1]
-        both = _embed_nodes(
-            self.query_node_embedder,
-            jnp.concatenate(
-                [graph.query_input_ids, graph.product_input_ids], axis=1
-            ),
-            jnp.concatenate(
-                [graph.query_type_ids, graph.product_type_ids], axis=1
-            ),
-            jnp.concatenate(
-                [graph.query_attention_mask, graph.product_attention_mask],
-                axis=1,
-            ),
-            deterministic=deterministic,
-        )
-        emb = {"query": both[:, :Q]}
-        b = both[:, Q:]
+        if title_table is not None:
+            emb = {
+                "query": _embed_nodes(
+                    self.query_node_embedder,
+                    graph.query_input_ids,
+                    graph.query_type_ids,
+                    graph.query_attention_mask,
+                    deterministic=deterministic,
+                )
+            }
+            b = jnp.take(title_table, graph.product_asin, axis=0)
+        else:
+            # one fused text pass over both node stores (same embedder
+            # params; a single [B*(Q+P), T] kernel utilizes the MXU better
+            # than two smaller ones)
+            both = _embed_nodes(
+                self.query_node_embedder,
+                jnp.concatenate(
+                    [graph.query_input_ids, graph.product_input_ids], axis=1
+                ),
+                jnp.concatenate(
+                    [graph.query_type_ids, graph.product_type_ids], axis=1
+                ),
+                jnp.concatenate(
+                    [graph.query_attention_mask,
+                     graph.product_attention_mask],
+                    axis=1,
+                ),
+                deterministic=deterministic,
+            )
+            emb = {"query": both[:, :Q]}
+            b = both[:, Q:]
         if self.use_id_embedding:
             a = self.product_node_embedder(graph.product_asin)
             emb["product"] = jnp.concatenate([a, b], axis=-1)

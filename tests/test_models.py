@@ -409,3 +409,36 @@ class TestConvKeys:
         np.testing.assert_allclose(
             np.asarray(out2), np.asarray(out1), rtol=1e-5
         )
+
+
+class TestTitleTableCache:
+    def test_cached_encode_matches_uncached(self, tiny_cfg, tokenizer, gen):
+        """GraphLevelEncoder(title_table=...) must reproduce the uncached
+        forward bit-for-bit (to float tolerance) for every session with at
+        least one product interaction; the zero-product placeholder node
+        (asin 0 carrying 'UNK' text) is the one documented divergence."""
+        from sessionsimilaritysearch_tpu.data import build_graph_batch
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            build_title_table,
+            make_cached_encode_fn,
+        )
+        from sessionsimilaritysearch_tpu.models import build_graph_encoder
+
+        data = gen.dataset(12)
+        data = [d for d in data
+                if any(a[1] != "s" for a in d[0])] or [gen.datum()]
+        batch = build_graph_batch(
+            data, tokenizer, tiny_cfg.dims,
+            ignore_query=tiny_cfg.ignore_query,
+        )
+        enc = build_graph_encoder(tiny_cfg)
+        params = enc.init(jax.random.PRNGKey(0), batch)
+        plain = jax.jit(lambda g: enc.apply(params, g))
+        table = build_title_table(
+            tiny_cfg, tokenizer, gen.titles, enc, params, batch_size=64
+        )
+        assert table.shape == (tiny_cfg.asin_num, tiny_cfg.text_encoder_dim)
+        cached = make_cached_encode_fn(enc, params, table)
+        np.testing.assert_allclose(
+            np.asarray(cached(batch)), np.asarray(plain(batch)), atol=1e-4
+        )
