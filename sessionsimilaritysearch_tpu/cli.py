@@ -318,10 +318,16 @@ def cmd_evaluate(args):
         ])
         params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
         encode_fn = jax.jit(lambda g: enc.apply(params, g))
-        res = harness.evaluate_encoder(
-            cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
-            batch_size=64,
-        )
+        if args.mode == "hybrid":
+            res = harness.evaluate_hybrid(
+                cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
+                alpha=args.alpha, batch_size=64,
+            )
+        else:
+            res = harness.evaluate_encoder(
+                cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
+                batch_size=64,
+            )
     if args.save_results:
         harness.save_results(
             args.save_results, res.D, res.I, test_data,
@@ -398,8 +404,10 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="end-to-end retrieval evaluation")
     _common(p)
     p.add_argument("--mode", default="model",
-                   choices=["model", "STAN", "SKNN", "knn", "load"])
+                   choices=["model", "STAN", "SKNN", "knn", "load", "hybrid"])
     p.add_argument("--k", type=int, default=20)
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="hybrid mode: weight of the dense term")
     p.add_argument("--save-results", default=None, metavar="PATH",
                    help="pickle D/I + sessions for later --mode load")
     p.add_argument("--results", default=None, metavar="PATH",

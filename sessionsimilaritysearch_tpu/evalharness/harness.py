@@ -328,3 +328,64 @@ def make_cached_encode_fn(encoder, params, title_table) -> Callable:
         lambda g, tbl: encoder.apply(params, g, title_table=tbl)
     )
     return lambda g: jitted(g, title_table)
+
+
+def evaluate_hybrid(
+    cfg: Config,
+    tokenizer,
+    encode_fn: Callable,
+    corpus_data: Sequence,
+    test_data: Sequence,
+    k: int = 100,
+    alpha: float = 0.5,
+    with_report: bool = True,
+    batch_size: int = 256,
+) -> SearchResult:
+    """Hybrid retrieval: fuse the learned session-embedding cosine with the
+    sparse item-overlap cosine per (query, corpus) pair,
+
+        score = alpha * dense_cos + (1 - alpha) * overlap_cos.
+
+    Both terms are cosines of L2-normalized vectors, so raw fusion is
+    well-scaled. In-catalog the overlap term supplies SKNN's near-oracle
+    item-match signal (test_amazon_filterd.py:48-57); out-of-catalog the
+    overlap collapses to ~0 for every candidate and the dense term carries
+    retrieval — so the hybrid dominates both single systems across regimes
+    (docs/RESULTS.md). The reference evaluates its modes separately and
+    never fuses; this is a serving capability it lacks."""
+    corpus_sessions = [d[0] if isinstance(d, tuple) else d for d in corpus_data]
+    pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
+    t0 = time.perf_counter()
+    ce = pipe(corpus_sessions)
+    qe = pipe(test_data)
+    t1 = time.perf_counter()
+    ce = ce / np.clip(np.linalg.norm(ce, axis=1, keepdims=True), 1e-9, None)
+    qe = qe / np.clip(np.linalg.norm(qe, axis=1, keepdims=True), 1e-9, None)
+    sc = sparse_index.build_sparse_corpus(
+        corpus_sessions, cfg.asin_num, kind="binary"
+    )
+    sq = np.stack([
+        sparse_index.sequence_to_binary_vec(t[0], cfg.asin_num)
+        for t in test_data
+    ])
+    t2 = time.perf_counter()
+    dense = qe @ ce.T                       # [nq, n] cosine
+    overlap = np.asarray(sc.dot(sq.T)).T    # [nq, n] cosine
+    fused = alpha * dense + (1.0 - alpha) * overlap
+    kk = min(k, fused.shape[1])
+    part = np.argpartition(-fused, kk - 1, axis=1)[:, :kk]
+    vals = np.take_along_axis(fused, part, axis=1)
+    order = np.argsort(-vals, axis=1, kind="stable")
+    I = np.full((fused.shape[0], k), -1, dtype=np.int32)
+    D = np.full((fused.shape[0], k), -np.inf, dtype=np.float32)
+    I[:, :kk] = np.take_along_axis(part, order, axis=1)
+    D[:, :kk] = np.take_along_axis(vals, order, axis=1)
+    t3 = time.perf_counter()
+    report = None
+    if with_report:
+        report = metrics.full_report(None, I, list(test_data), corpus_sessions)
+    search_s = t3 - t2
+    return SearchResult(
+        D, I, t1 - t0, t2 - t1, 0.0, search_s,
+        len(test_data) / search_s if search_s > 0 else float("inf"), report,
+    )

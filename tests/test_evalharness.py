@@ -189,3 +189,62 @@ class TestKnnRecommendationMode:
         )
         assert 0.0 <= out["recall_at_k"] <= 1.0
         assert out["qps"] > 0
+
+
+class TestHybrid:
+    def _encode_fn(self, tokenizer, data):
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+
+        cfg = tiny_test_config()
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, data[0][0], data[0][1], tokenizer, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        return cfg, jax.jit(lambda g: enc.apply(params, g))
+
+    def test_alpha_endpoints_recover_single_systems(self, gen, tokenizer):
+        corpus_data = gen.dataset(20)
+        test_data = gen.dataset(5)
+        cfg, encode_fn = self._encode_fn(tokenizer, corpus_data)
+        dense = harness.evaluate_encoder(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            batch_size=8, with_report=False,
+        )
+        sparse = harness.evaluate_sparse(
+            cfg, [d[0] for d in corpus_data], test_data, kind="binary",
+            k=5, with_report=False,
+        )
+        h1 = harness.evaluate_hybrid(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            alpha=1.0, batch_size=8, with_report=False,
+        )
+        h0 = harness.evaluate_hybrid(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            alpha=0.0, batch_size=8, with_report=False,
+        )
+        # alpha=1 reproduces dense top-1; alpha=0 the sparse top-1 SCORES
+        # (tie order may differ between argsort kinds, so compare values)
+        np.testing.assert_array_equal(h1.I[:, 0], dense.I[:, 0])
+        np.testing.assert_allclose(h0.D[:, 0], sparse.D[:, 0], atol=1e-6)
+        np.testing.assert_allclose(
+            np.sort(h0.D, axis=1), np.sort(sparse.D, axis=1), atol=1e-6
+        )
+
+    def test_mid_alpha_report(self, gen, tokenizer):
+        corpus_data = gen.dataset(16)
+        test_data = gen.dataset(4)
+        cfg, encode_fn = self._encode_fn(tokenizer, corpus_data)
+        res = harness.evaluate_hybrid(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=6,
+            alpha=0.5, batch_size=8,
+        )
+        assert res.I.shape == (4, 6)
+        assert (res.I >= 0).all()
+        assert "ave_all_product_type_score" in res.report
