@@ -187,3 +187,117 @@ def pallas_bucketed_topk(
     sel_bucket = jnp.take_along_axis(b_idx, c_pos // bucket, axis=1)
     idx = sel_bucket * bucket + c_pos % bucket
     return c_vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Packed Hamming: XOR + popcount fully in VMEM over uint32-packed codes.
+# The sign-matmul path (ops/hamming.py sign_topk) is the SPEED path (MXU);
+# this kernel is the MEMORY path: the corpus stays packed at 1 bit/bit in
+# HBM (32x smaller than +-1 bf16 x16 = 512x smaller than f32 embeddings)
+# and distances never materialize beyond a [q, n/bucket] bucket-min matrix.
+# Counterpart of FAISS IndexBinaryFlat's packed scan
+# (reference: fine_tune_ours.py:839-879).
+# ---------------------------------------------------------------------------
+
+
+def _hamming_bucket_min_kernel(q_ref, c_ref, out_ref, *, bucket: int,
+                               words: int):
+    """One grid step: packed-XOR popcount distances [TQ, BLK], bucket-min
+    reduce, write this inner step's slice of the output block. The per-word
+    Python loop keeps the VMEM working set at one [TQ, BLK] accumulator
+    instead of a [TQ, BLK, words] cube."""
+    r = pl.program_id(2)
+    qb = q_ref[:].astype(jnp.uint32)   # [TQ, W]
+    cb = c_ref[:].astype(jnp.uint32)   # [BLK, W]
+    tq = qb.shape[0]
+    blk = cb.shape[0]
+    dist = jnp.zeros((tq, blk), dtype=jnp.int32)
+    for j in range(words):  # static unroll
+        x = jnp.bitwise_xor(qb[:, j][:, None], cb[:, j][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    nb_blk = blk // bucket
+    bmin = jnp.min(dist.reshape(tq, nb_blk, bucket), axis=-1)
+    out_ref[:, pl.ds(r * nb_blk, nb_blk)] = bmin
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "block_q", "block_c")
+)
+def hamming_bucket_min(
+    q_codes: jnp.ndarray,
+    c_codes: jnp.ndarray,
+    bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 2048,
+) -> jnp.ndarray:
+    """Fused packed-Hamming + bucket-min: [q, n // bucket] where entry
+    (i, j) = min Hamming distance from query i to corpus rows
+    [j*bucket, (j+1)*bucket). Same grid/constraint structure as
+    :func:`scores_bucket_max` (q % block_q == 0, n % (128*bucket) == 0,
+    (128*bucket) % block_c == 0, block_c % bucket == 0)."""
+    q, w = q_codes.shape
+    n = c_codes.shape[0]
+    rows_per_out = 128 * bucket
+    assert q % block_q == 0, (q, block_q)
+    assert n % rows_per_out == 0, (n, rows_per_out)
+    assert rows_per_out % block_c == 0, (rows_per_out, block_c)
+    assert block_c % bucket == 0, (block_c, bucket)
+    inner = rows_per_out // block_c
+
+    grid = (q // block_q, n // rows_per_out, inner)
+    return pl.pallas_call(
+        functools.partial(
+            _hamming_bucket_min_kernel, bucket=bucket, words=w
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, n // bucket), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_q, w), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_c, w),
+                lambda i, j, r: (j * inner + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_q, 128), lambda i, j, r: (i, j), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * q * n * w,  # xor + popcount + add per word
+            bytes_accessed=q * w * 4 + n * w * 4 + q * (n // bucket) * 4,
+            transcendentals=0,
+        ),
+    )(q_codes, c_codes)
+
+
+def pallas_hamming_topk(
+    q_codes: jnp.ndarray,
+    c_codes: jnp.ndarray,
+    k: int,
+    bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact Hamming top-k over packed codes: fused bucket-min kernel for
+    candidate selection, then an exact popcount re-rank of the k*bucket
+    gathered candidates. Identical ranking to ops.hamming.hamming_topk
+    (ties may resolve to a different equal-distance row). Returns
+    (distances ascending [q, k], indices)."""
+    q, w = q_codes.shape
+    n = c_codes.shape[0]
+    bmin = hamming_bucket_min(q_codes, c_codes, bucket, block_q, block_c)
+    _, b_idx = jax.lax.top_k(-bmin, k)  # k best (smallest-min) buckets
+    rows = c_codes.reshape(n // bucket, bucket, w)[b_idx]  # [q, k, bucket, w]
+    x = jnp.bitwise_xor(
+        q_codes.astype(jnp.uint32)[:, None, None, :],
+        rows.astype(jnp.uint32),
+    )
+    cand = jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32), axis=-1
+    ).reshape(q, k * bucket)
+    c_neg, c_pos = jax.lax.top_k(-cand, k)
+    sel_bucket = jnp.take_along_axis(b_idx, c_pos // bucket, axis=1)
+    idx = sel_bucket * bucket + c_pos % bucket
+    return -c_neg, idx

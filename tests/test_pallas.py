@@ -63,3 +63,48 @@ class TestPallasMips:
         q, c = data
         with pytest.raises(AssertionError):
             pallas_mips.scores_bucket_max(q, c, bucket=32, block_c=999)
+
+
+class TestPallasHamming:
+    @pytest.fixture(scope="class")
+    def codes(self):
+        rng = np.random.default_rng(3)
+        c_signs = np.sign(rng.standard_normal((4096, 250))).astype(np.float32)
+        q_signs = np.sign(rng.standard_normal((256, 250))).astype(np.float32)
+        from sessionsimilaritysearch_tpu.ops.hamming import pack_bits_np
+
+        return (q_signs, c_signs,
+                jnp.asarray(pack_bits_np(q_signs)),
+                jnp.asarray(pack_bits_np(c_signs)))
+
+    def test_bucket_min_matches_xla(self, codes):
+        _, _, qc, cc = codes
+        with pltpu.force_tpu_interpret_mode():
+            bmin = pallas_mips.hamming_bucket_min(
+                qc, cc, bucket=16, block_q=256, block_c=2048
+            )
+        x = np.bitwise_xor(
+            np.asarray(qc).view(np.uint32)[:, None, :],
+            np.asarray(cc).view(np.uint32)[None, :, :],
+        )
+        dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+        ref = dist.reshape(256, 4096 // 16, 16).min(-1)
+        np.testing.assert_array_equal(np.asarray(bmin), ref)
+
+    def test_pallas_hamming_topk_matches_oracle(self, codes):
+        from sessionsimilaritysearch_tpu.ops.hamming import oracle_hamming_np
+
+        q_signs, c_signs, qc, cc = codes
+        with pltpu.force_tpu_interpret_mode():
+            d, i = pallas_mips.pallas_hamming_topk(
+                qc, cc, k=10, bucket=16, block_q=256, block_c=2048
+            )
+        d, i = np.asarray(d), np.asarray(i)
+        ov, _ = oracle_hamming_np(q_signs, c_signs, 10)
+        # distances match the oracle's exactly; tie rows may swap, so also
+        # check every returned index really has its reported distance
+        np.testing.assert_array_equal(np.sort(d, axis=1), np.sort(ov, axis=1))
+        qb = (q_signs > 0).astype(np.int32)
+        cb = (c_signs > 0).astype(np.int32)
+        true = (qb[:, None, :] != cb[i]).sum(-1)
+        np.testing.assert_array_equal(true, d)
