@@ -25,6 +25,20 @@ from sessionsimilaritysearch_tpu.index.dense import DenseIndex
 from sessionsimilaritysearch_tpu.utils.profiling import PhaseTimer
 
 
+def _item_set(sess) -> frozenset:
+    """Distinct product ids of a session (schema.get_item)."""
+    return frozenset(a[-1] for a in sess if a[1] != "s")
+
+
+def _overlap_cos(a: frozenset, b: frozenset) -> float:
+    """Cosine of the L2-normalized binary item-indicator vectors, computed
+    set-wise: |A∩B| / sqrt(|A||B|) (test_amazon_filterd.py:48-57 without
+    ever materializing asin_num-dim vectors)."""
+    if not a or not b:
+        return 0.0
+    return len(a & b) / ((len(a) * len(b)) ** 0.5)
+
+
 def _session_key(sess) -> tuple:
     """Hashable content digest of a session: (type, asin, text) per action —
     exactly the fields the graph transform reads, so two sessions with equal
@@ -82,6 +96,8 @@ class SessionSearchEngine:
         self._ingest_lock = threading.Lock()
         # canonical key per inserted session, for query-time dedup
         self._canon: List = []
+        # distinct item-id set per inserted session, for hybrid re-ranking
+        self._items: List[frozenset] = []
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -135,6 +151,7 @@ class SessionSearchEngine:
             sess = d[0] if isinstance(d, tuple) and len(d) == 2 else d
             self.sessions.append(sess)
             self._canon.append(_session_key(sess))
+            self._items.append(_item_set(sess))
 
     # ------------------------------------------------------------------
     # Background ingest: encode+insert off the caller's thread so serving
@@ -183,15 +200,49 @@ class SessionSearchEngine:
 
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None,
-               dedup: bool = False):
+               dedup: bool = False, hybrid_alpha: Optional[float] = None,
+               overfetch: int = 4):
         """Full query path: sessions -> embed -> exact top-k.
         Returns (D, I). With ``dedup=True``, hits whose stored session
         duplicates an earlier hit's (same actions, e.g. inserted twice by a
-        re-played stream) are dropped and backfilled from deeper ranks."""
+        re-played stream) are dropped and backfilled from deeper ranks.
+
+        ``hybrid_alpha``: re-rank the dense top-(overfetch*k) candidates by
+        ``alpha * dense_cos + (1 - alpha) * item_overlap_cos`` (the fusion
+        of evalharness.harness.evaluate_hybrid, restricted to the dense
+        candidate set so the overlap term costs O(session length) per
+        candidate instead of an asin_num-dim matmul). Raise ``overfetch``
+        to trade latency for fusion fidelity."""
         k = k or self.cfg.retrieval_k
         emb = self.embed(data)
         t0 = time.perf_counter()
-        D, I = self.search_embeddings(emb, k, dedup=dedup)
+        if hybrid_alpha is None:
+            D, I = self.search_embeddings(emb, k, dedup=dedup)
+        else:
+            m = min(max(overfetch * k, k), max(self.index.ntotal, 1))
+            D2, I2 = self.search_embeddings(emb, m, dedup=dedup)
+            D2, I2 = np.asarray(D2), np.asarray(I2)
+            q_items = [
+                _item_set(d[0] if isinstance(d, tuple) and len(d) == 2
+                          else d)
+                for d in data
+            ]
+            D = np.full((len(data), k), -np.inf, dtype=np.float32)
+            I = np.full((len(data), k), -1, dtype=np.int32)
+            for r in range(len(data)):
+                fused = []
+                for c in range(m):
+                    gid = int(I2[r, c])
+                    if gid < 0:
+                        continue
+                    ov = _overlap_cos(q_items[r], self._items[gid])
+                    fused.append(
+                        (hybrid_alpha * float(D2[r, c])
+                         + (1.0 - hybrid_alpha) * ov, gid)
+                    )
+                fused.sort(key=lambda t: -t[0])
+                for w, (s, gid) in enumerate(fused[:k]):
+                    D[r, w], I[r, w] = s, gid
         self.timer.totals["search"] += time.perf_counter() - t0
         self.timer.counts["search"] += 1
         return D, I
@@ -276,3 +327,4 @@ class SessionSearchEngine:
             self.sessions = list(blob["sessions"])
             self._pending = list(blob["pending"])
             self._canon = [_session_key(s) for s in self.sessions]
+            self._items = [_item_set(s) for s in self.sessions]

@@ -169,3 +169,37 @@ class TestEngine:
         # pending tail resumes striping after restore
         fresh.add_sessions(gen.dataset(4))
         assert fresh.index.ntotal == 24
+
+    def test_hybrid_search(self, engine_parts, gen, tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(24)
+        eng.add_sessions(data)
+        # alpha=1 reproduces plain dense search exactly
+        Dd, Id = eng.search(data[:4], k=5)
+        Dh, Ih = eng.search(data[:4], k=5, hybrid_alpha=1.0)
+        np.testing.assert_array_equal(Ih, Id)
+        np.testing.assert_allclose(Dh, np.asarray(Dd), atol=1e-6)
+        # alpha=0 ranks candidates purely by item overlap: the query's own
+        # session (overlap cos = 1) must rank first
+        D0, I0 = eng.search(data[:4], k=5, hybrid_alpha=0.0)
+        from sessionsimilaritysearch_tpu.engine import _item_set, _overlap_cos
+        for r in range(4):
+            q_items = _item_set(data[r][0])
+            assert _overlap_cos(q_items, eng._items[int(I0[r, 0])]) == 1.0
+        # mid alpha: scores equal the fusion formula for every returned hit
+        Dm, Im = eng.search(data[:4], k=5, hybrid_alpha=0.5)
+        D8, I8 = eng.search(data[:4], k=20)  # the candidate pool (4*5=20)
+        for r in range(4):
+            q_items = _item_set(data[r][0])
+            dmap = {int(i): float(d) for d, i in zip(D8[r], I8[r]) if i >= 0}
+            for d, i in zip(Dm[r], Im[r]):
+                if i < 0:
+                    continue
+                want = 0.5 * dmap[int(i)] + 0.5 * _overlap_cos(
+                    q_items, eng._items[int(i)]
+                )
+                assert abs(d - want) < 1e-5
