@@ -176,6 +176,10 @@ def tiny_test_config(**kw) -> Config:
         gnn_pooling_out=16,
         n_out=24,
         text_encoder_dim=32,
+        # the query-decoder heads split emb_len across qh_nhead; the full
+        # config's 200/5 divides, tiny's 16 needs a matching head count
+        qh_nhead=2,
+        qh_nhid=32,
         batch_size=4,
         ft_batch_size=4,
         asin_num=1000,
