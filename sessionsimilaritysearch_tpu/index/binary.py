@@ -16,6 +16,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from sessionsimilaritysearch_tpu.index.dense import _write_rows
 from sessionsimilaritysearch_tpu.ops import hamming
 
 
@@ -47,7 +48,11 @@ class BinaryIndex:
             rows = jnp.asarray(hamming.pack_bits_np(signs))
         else:
             rows = jnp.where(jnp.asarray(signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
-        self._buf = self._buf.at[self.size : self.size + m].set(rows)
+        # O(batch) in-place append (donated dynamic_update_slice), not an
+        # O(capacity) functional copy -- same pattern as DenseIndex.add
+        self._buf = _write_rows(
+            self._buf, rows, jnp.asarray(self.size, jnp.int32)
+        )
         self.size += m
 
     def search(self, q_signs, k: int) -> Tuple[np.ndarray, np.ndarray]:

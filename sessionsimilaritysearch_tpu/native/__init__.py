@@ -134,7 +134,11 @@ def tokenize_batch(
     lib = load()
     if lib is None:
         return None
-    arr, lens, keep = _as_cstrings(list(texts))
+    # Unicode-aware lowercasing happens HERE: the C side lowercases
+    # byte-wise ASCII only, so chars whose lowercase maps into ASCII
+    # (e.g. U+212A KELVIN SIGN -> 'k') must be folded before marshalling
+    # to keep bit-equivalence with HashTokenizer (text.lower() first).
+    arr, lens, keep = _as_cstrings([t.lower() for t in texts])
     out = np.zeros((len(texts), max_len), dtype=np.int32)
     lib.tokenize_batch(
         arr, lens, len(texts), max_len, vocab_size,
@@ -177,7 +181,9 @@ def _marshal_stream(sessions: Sequence[Sequence]):
                 b = b""
             else:
                 nulls.append(0)
-                b = txt.encode("utf-8")
+                # pre-fold case Unicode-aware; the C tokenizer only
+                # lowercases ASCII bytes (see tokenize_batch above)
+                b = txt.lower().encode("utf-8")
             chunks.append(b)
             toff.append(toff[-1] + len(b))
     return (

@@ -127,9 +127,15 @@ def sign_topk(
         chunk_size=chunk_size,
         metric="ip",
     )
-    # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2
-    dist = (n_bits - ip) * 0.5
-    return dist.astype(jnp.int32), idx
+    # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2. Missing slots
+    # carry ip=-inf; float->int conversion of inf is implementation-defined,
+    # so set them to the explicit INT32_MAX sentinel hamming_topk uses.
+    dist = jnp.where(
+        idx < 0,
+        jnp.iinfo(jnp.int32).max,
+        ((n_bits - ip) * 0.5).astype(jnp.int32),
+    )
+    return dist, idx
 
 
 def oracle_hamming_np(q_signs, c_signs, k):

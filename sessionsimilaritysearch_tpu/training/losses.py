@@ -79,7 +79,15 @@ def mlm_loss(logits, gt_ids, token_mask):
 
 def electra_loss(pred, input_ids, gt_ids, valid_mask=None):
     """Replaced-token-detection BCE (pretrain_filtered_amazon.py:64-69).
-    pred in (0,1), same shape as ids."""
+    pred in (0,1), same shape as ids.
+
+    Intentional deviation: when ``valid_mask`` is given (the pretrain driver
+    passes the attention mask), padded positions are EXCLUDED from the mean,
+    whereas the reference's ElectraLoss averages BCE over all positions
+    including padding. Averaging over padding dilutes the signal with
+    trivially-classified positions and couples the loss scale to pad length;
+    masking is a strict improvement. Pass ``valid_mask=None`` for bit-level
+    parity with upstream."""
     label = (input_ids != gt_ids).astype(pred.dtype)
     p = jnp.clip(pred, 1e-7, 1.0 - 1e-7)
     bce = -(label * jnp.log(p) + (1.0 - label) * jnp.log(1.0 - p))

@@ -203,3 +203,131 @@ class TestEngine:
                     q_items, eng._items[int(i)]
                 )
                 assert abs(d - want) < 1e-5
+
+
+def _bare_engine(n_rows: int, rng: np.random.Generator, max_items=12,
+                 asin_num=50_000) -> SessionSearchEngine:
+    """Engine shell with synthetic per-row metadata (no encoder/index work):
+    exercises the vectorized query-path helpers at serving shapes."""
+    from sessionsimilaritysearch_tpu.engine import _session_key
+
+    eng = SessionSearchEngine.__new__(SessionSearchEngine)
+    eng._key_to_id = {}
+    eng._canon_ids = []
+    eng._item_flat = []
+    eng._item_lens = []
+    eng._meta_cache = None
+    eng._items = []
+    eng._canon = []
+    for _ in range(n_rows):
+        items = frozenset(
+            rng.integers(0, asin_num, size=rng.integers(1, max_items))
+            .tolist()
+        )
+        key = tuple(sorted(items))
+        eng._items.append(items)
+        eng._canon.append(key)
+        eng._canon_ids.append(
+            eng._key_to_id.setdefault(key, len(eng._key_to_id))
+        )
+        eng._item_flat.extend(items)
+        eng._item_lens.append(len(items))
+    return eng
+
+
+class TestVectorizedQueryPaths:
+    """The re-rank/dedup helpers at serving shapes (VERDICT r1 item 7):
+    equality vs a straightforward per-candidate reference, plus a latency
+    budget that a per-row-per-candidate Python loop cannot meet."""
+
+    def _slow_hybrid(self, eng, D2, gid, q_sets, k, alpha):
+        from sessionsimilaritysearch_tpu.engine import _overlap_cos
+
+        q, m = D2.shape
+        D = np.full((q, k), -np.inf, dtype=np.float32)
+        I = np.full((q, k), -1, dtype=np.int64)
+        for r in range(q):
+            fused = []
+            for c in range(m):
+                g = int(gid[r, c])
+                if g < 0:
+                    continue
+                ov = _overlap_cos(q_sets[r], eng._items[g])
+                fused.append(
+                    (alpha * float(D2[r, c]) + (1 - alpha) * ov, c)
+                )
+            fused.sort(key=lambda t: (-t[0], t[1]))
+            for w, (s, c) in enumerate(fused[:k]):
+                D[r, w], I[r, w] = s, gid[r, c]
+        return D, I
+
+    def test_hybrid_rerank_matches_reference(self, rng):
+        eng = _bare_engine(512, rng)
+        q, m, k = 16, 40, 10
+        D2 = np.sort(
+            rng.standard_normal((q, m)).astype(np.float32), axis=1
+        )[:, ::-1].copy()
+        gid = np.stack([
+            rng.choice(512, size=m, replace=False) for _ in range(q)
+        ]).astype(np.int64)
+        gid[:, -3:] = -1  # short rows
+        q_sets = [eng._items[int(i)] for i in rng.integers(0, 512, size=q)]
+        D, I = eng._hybrid_rerank(D2, gid, q_sets, k, 0.5)
+        Ds, Is = self._slow_hybrid(eng, D2, gid, q_sets, k, 0.5)
+        np.testing.assert_array_equal(I, Is)
+        np.testing.assert_allclose(D, Ds, atol=1e-5)
+
+    def test_dedup_matches_reference(self, rng):
+        eng = _bare_engine(64, rng)
+        # force duplicates: second half of metadata mirrors the first
+        for g in range(32, 64):
+            eng._canon_ids[g] = eng._canon_ids[g - 32]
+        eng._meta_cache = None
+        q, m, k = 8, 24, 6
+        D2 = np.sort(
+            rng.standard_normal((q, m)).astype(np.float32), axis=1
+        )[:, ::-1].copy()
+        gid = np.stack([
+            rng.choice(64, size=m, replace=False) for _ in range(q)
+        ]).astype(np.int64)
+        D, I = eng._dedup_topk(D2, gid, k)
+        for r in range(q):
+            kept = [int(i) for i in I[r] if i >= 0]
+            keys = [eng._canon_ids[i] for i in kept]
+            assert len(set(keys)) == len(keys)
+            # best-ranked representative of each key survives
+            seen = set()
+            want = []
+            for c in range(m):
+                cid = eng._canon_ids[int(gid[r, c])]
+                if cid in seen:
+                    continue
+                seen.add(cid)
+                want.append(int(gid[r, c]))
+            assert kept == want[:k]
+
+    def test_serving_shape_latency(self, rng):
+        import time
+
+        eng = _bare_engine(100_000, rng)
+        q, k, overfetch = 1024, 100, 4
+        m = overfetch * k
+        D2 = np.sort(
+            rng.standard_normal((q, m)).astype(np.float32), axis=1
+        )[:, ::-1].copy()
+        gid = rng.integers(0, 100_000, size=(q, m)).astype(np.int64)
+        q_sets = [
+            eng._items[int(i)] for i in rng.integers(0, 100_000, size=q)
+        ]
+        eng._np_meta()  # build the metadata snapshot outside the timer
+        t0 = time.perf_counter()
+        D, I = eng._hybrid_rerank(D2, gid, q_sets, k, 0.5)
+        hybrid_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        Dd, Id = eng._dedup_topk(D2, gid, k)
+        dedup_s = time.perf_counter() - t0
+        assert I.shape == (q, k) and Id.shape == (q, k)
+        # ~400k candidates/call: vectorized passes finish in well under a
+        # second; the old per-candidate Python loops took several seconds
+        assert hybrid_s < 1.5, f"hybrid re-rank too slow: {hybrid_s:.2f}s"
+        assert dedup_s < 1.5, f"dedup too slow: {dedup_s:.2f}s"

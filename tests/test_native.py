@@ -76,6 +76,21 @@ class TestNativeTokenizer:
         py_ids = np.stack([tok.encode_one(t, 12) for t in texts])
         np.testing.assert_array_equal(native_ids, py_ids)
 
+    def test_non_ascii_case_folding(self):
+        """Unicode chars whose lowercase maps into ASCII (U+212A KELVIN
+        SIGN -> 'k', U+0130 -> 'i' + combining dot) must tokenize
+        identically to HashTokenizer's str.lower() path (ADVICE r1)."""
+        tok = HashTokenizer(vocab_size=5000)
+        texts = [
+            "\u212aelvin scale",          # KELVIN SIGN folds to ascii k
+            "\u0130stanbul lamp",         # dotted capital I
+            "stra\u00dfe 42",             # sharp s folds to 'ss'
+            "caf\u00e9 NOIR",             # e-acute stays non-ascii
+        ]
+        native_ids = native.tokenize_batch(texts, 12, 5000)
+        py_ids = np.stack([tok.encode_one(t, 12) for t in texts])
+        np.testing.assert_array_equal(native_ids, py_ids)
+
     def test_wired_into_hash_tokenizer(self):
         tok = HashTokenizer(vocab_size=5000)
         out = tok(["red lamp", None], max_length=8)

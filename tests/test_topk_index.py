@@ -248,3 +248,89 @@ class TestScoreDtype:
         worst = np.argmin(qq @ cc.T, axis=1)
         wrong[:] = worst[:, None]
         assert value_recall_at_k(wrong, qq, cc, 10) < 0.2
+
+
+class TestBinaryStreaming:
+    def test_streaming_insert(self, rng):
+        """Interleaved add/search; appends are O(batch) donated updates
+        (VERDICT r1 item 10), results identical to one-shot build."""
+        c = rng.choice([-1.0, 1.0], size=(96, 64)).astype(np.float32)
+        q = rng.choice([-1.0, 1.0], size=(4, 64)).astype(np.float32)
+        for mode in ("packed", "sign"):
+            inc = BinaryIndex(n_bits=64, capacity=128, mode=mode)
+            for s in range(0, 96, 16):
+                inc.add(c[s : s + 16])
+                d, i = inc.search(q, 3)
+                assert (i < inc.ntotal).all()
+            one = BinaryIndex(n_bits=64, capacity=128, mode=mode)
+            one.add(c)
+            di, ii = inc.search(q, 6)
+            do, io = one.search(q, 6)
+            np.testing.assert_array_equal(di, do)
+            np.testing.assert_array_equal(ii, io)
+
+    def test_capacity_overflow_raises(self, rng):
+        idx = BinaryIndex(n_bits=32, capacity=8)
+        idx.add(rng.choice([-1.0, 1.0], size=(8, 32)))
+        with pytest.raises(ValueError):
+            idx.add(rng.choice([-1.0, 1.0], size=(1, 32)))
+
+    def test_missing_slots_are_int32_max(self, rng):
+        """k > corpus: missing slots read (INT32_MAX, -1) in BOTH modes --
+        pins the sign-mode inf->int conversion fix (ADVICE r1)."""
+        c = rng.choice([-1.0, 1.0], size=(3, 64)).astype(np.float32)
+        for mode in ("packed", "sign"):
+            idx = BinaryIndex(n_bits=64, capacity=8, mode=mode)
+            idx.add(c)
+            d, i = idx.search(c[:2], 5)
+            assert (i[:, 3:] == -1).all()
+            assert (d[:, 3:] == np.iinfo(np.int32).max).all()
+            assert (i[:, 0] == [0, 1]).all() and (d[:, 0] == 0).all()
+
+
+class TestValueRecallAdversarial:
+    """The bench's bf16 guard must catch genuinely wrong retrievals
+    (VERDICT r1 item 9): value_recall_at_k is only a valid headline metric
+    if it penalizes dropped true neighbors, not just forgives tie churn."""
+
+    def test_dropped_true_top1_reads_below_one(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import (
+            oracle_topk_np,
+            value_recall_at_k,
+        )
+
+        corpus = rng.standard_normal((128, 32)).astype(np.float32)
+        q = corpus[:4] * 2.0  # unambiguous nearest: the row itself
+        _, oracle_idx = oracle_topk_np(q, corpus, 5)
+        wrong = oracle_idx.copy()
+        wrong[:, 0] = oracle_idx[:, -1]  # drop true top-1 (wide margin)
+        vr = value_recall_at_k(wrong, q, corpus, 5)
+        assert vr < 1.0
+        # exactly one of five slots per query now misses the k-th bar
+        assert abs(vr - 0.8) < 1e-9
+
+    def test_garbage_retrieval_reads_near_zero(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        corpus = rng.standard_normal((64, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        worst = np.argsort(q @ corpus.T, axis=1)[:, :5]  # bottom-5 rows
+        assert value_recall_at_k(worst, q, corpus, 5) == 0.0
+
+    def test_tie_churn_reads_one_while_set_recall_does_not(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import (
+            oracle_topk_np,
+            recall_at_k,
+            value_recall_at_k,
+        )
+
+        base = rng.standard_normal((32, 16)).astype(np.float32)
+        corpus = np.concatenate([base, base])  # every row duplicated
+        q = base[:4]
+        _, oracle_idx = oracle_topk_np(q, corpus, 3)
+        churned = (oracle_idx + 32) % 64  # same scores, other copy
+        # the set metric punishes the churn (only the rows whose BOTH
+        # copies rank in the top-k survive the swap); the value metric
+        # correctly reads a perfect retrieval
+        assert recall_at_k(churned, oracle_idx) < 1.0
+        assert value_recall_at_k(churned, q, corpus, 3) == 1.0
