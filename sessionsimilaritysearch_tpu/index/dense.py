@@ -30,6 +30,17 @@ def _write_rows(buf: jnp.ndarray, rows: jnp.ndarray, start: jnp.ndarray):
     return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
 
+@jax.jit
+def _quantize_rows_int8(emb: jnp.ndarray):
+    """Per-row symmetric int8: code = round(row / s), s = max|row| / 127.
+    Scores dequantize as (q . code) * s (ops.topk.chunked_topk
+    corpus_scales)."""
+    s = jnp.max(jnp.abs(emb), axis=1) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    codes = jnp.clip(jnp.round(emb / s[:, None]), -127, 127).astype(jnp.int8)
+    return codes, s.astype(jnp.float32)
+
+
 class DenseIndex:
     """Flat exact index over a dense embedding corpus.
 
@@ -49,16 +60,30 @@ class DenseIndex:
         chunk_size: int = 65536,
         mode: str = "exact",
         score_dtype=jnp.float32,
+        quantize: Optional[str] = None,
     ):
         assert metric in ("cos", "ip", "l2")
+        assert quantize in (None, "int8")
+        assert quantize is None or metric != "l2", (
+            "int8 corpus supports 'ip'/'cos' only"
+        )
         self.dim = dim
         self.capacity = capacity
         self.metric = metric
-        self.dtype = jnp.dtype(dtype)
+        self.quantize = quantize
+        self.dtype = jnp.dtype(jnp.int8 if quantize else dtype)
         self.chunk_size = chunk_size
         self.mode = mode
         self.score_dtype = score_dtype
         self._buf = jnp.zeros((capacity, dim), dtype=self.dtype)
+        # per-row dequantization scales (int8 mode): true_row ~= code * scale.
+        # Quarters the corpus HBM vs f32 (halves vs bf16) for single-chip
+        # capacity headroom (1M x 1600 f32 = 6.4 GB -> 1.6 GB); ranking
+        # error is bounded by the per-row quantization step and gated in
+        # tests by value_recall_at_k (VERDICT r1 item 5).
+        self._scales = (
+            jnp.zeros((capacity,), jnp.float32) if quantize else None
+        )
         self.size = 0
 
     @property
@@ -67,7 +92,9 @@ class DenseIndex:
 
     def add(self, emb) -> None:
         """Append embeddings [m, d]; normalizes rows first under 'cos'."""
-        emb = jnp.asarray(emb, self.dtype)
+        emb = jnp.asarray(
+            emb, jnp.float32 if self.quantize else self.dtype
+        )
         assert emb.ndim == 2 and emb.shape[1] == self.dim
         m = emb.shape[0]
         if self.size + m > self.capacity:
@@ -75,7 +102,14 @@ class DenseIndex:
                 f"index full: {self.size}+{m} > capacity {self.capacity}"
             )
         if self.metric == "cos":
-            emb = topk_ops.l2_normalize(emb).astype(self.dtype)
+            emb = topk_ops.l2_normalize(emb)
+        if self.quantize:
+            emb, scales = _quantize_rows_int8(emb)
+            self._scales = jax.lax.dynamic_update_slice(
+                self._scales, scales, (self.size,)
+            )
+        else:
+            emb = emb.astype(self.dtype)
         self._buf = _write_rows(self._buf, emb, jnp.asarray(self.size, jnp.int32))
         self.size += m
 
@@ -83,9 +117,10 @@ class DenseIndex:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:
         scores descending for 'cos'/'ip', squared distances ascending for
         'l2'; missing slots are (-inf/+inf, -1)."""
-        queries = jnp.asarray(queries, self.dtype)
+        qdtype = jnp.bfloat16 if self.quantize else self.dtype
+        queries = jnp.asarray(queries, qdtype)
         if self.metric == "cos":
-            queries = topk_ops.l2_normalize(queries).astype(self.dtype)
+            queries = topk_ops.l2_normalize(queries).astype(qdtype)
         metric = "ip" if self.metric == "cos" else self.metric
         vals, idx = topk_ops.chunked_topk(
             queries,
@@ -96,6 +131,7 @@ class DenseIndex:
             valid_count=jnp.asarray(self.size, jnp.int32),
             mode=self.mode,
             score_dtype=self.score_dtype,
+            corpus_scales=self._scales,
         )
         vals, idx = np.asarray(vals), np.asarray(idx)
         if self.metric == "l2":
@@ -106,28 +142,40 @@ class DenseIndex:
     #     test_amazon_filterd.py:96-97,159,176 -- commented out upstream,
     #     first-class here)
     def save(self, path: str) -> None:
+        extra = {}
+        if self.quantize:
+            extra["scales"] = np.asarray(self._scales[: self.size])
+            extra["quantize"] = self.quantize
         np.savez(
             path,
             buf=np.asarray(self._buf[: self.size]),
             metric=self.metric,
             dim=self.dim,
             capacity=self.capacity,
+            **extra,
         )
 
     @classmethod
     def load(cls, path: str, capacity: Optional[int] = None) -> "DenseIndex":
         z = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=True)
         buf = z["buf"]
+        quantize = str(z["quantize"]) if "quantize" in z else None
         idx = cls(
             dim=int(z["dim"]),
             capacity=capacity or int(z["capacity"]),
             metric=str(z["metric"]),
+            quantize=quantize,
         )
         if buf.shape[0]:
             # rows were already normalized on the original add under 'cos'
+            # (and quantized in int8 mode -- codes round-trip bit-exactly)
             idx._buf = _write_rows(
                 idx._buf, jnp.asarray(buf, idx.dtype), jnp.asarray(0, jnp.int32)
             )
+            if quantize:
+                idx._scales = jax.lax.dynamic_update_slice(
+                    idx._scales, jnp.asarray(z["scales"], jnp.float32), (0,)
+                )
             idx.size = buf.shape[0]
         return idx
 

@@ -2,29 +2,46 @@
 
 Fused building blocks for the blocked exact-search pipeline (ops/topk.py).
 The XLA path materializes the [q, chunk] score matrix in HBM between the
-matmul and the bucket-max reduction; the Pallas kernel fuses the two so each
-score tile lives only in VMEM and the only HBM write is the [q, n/bucket]
-bucket-max matrix -- a ``bucket``-fold reduction in score-buffer bandwidth.
+matmul and the bucket-max reduction and then reads it back; the kernels here
+fuse the matmul with the bucket reduction so each score tile is reduced
+while still in VMEM. Two variants:
 
-Kernel shape (see /opt/skills/guides/pallas_guide.md):
-  grid = (q_tiles, corpus_blocks); per step the MXU computes a
-  [TQ, BLK] score tile from VMEM-resident operands (Pallas pipelines the
-  HBM->VMEM streaming of corpus blocks across grid steps automatically via
-  the BlockSpec index maps), the VPU reduces it over ``bucket``-wide groups,
-  and only the maxes are written out.
+- ``scores_bucket_max``: emits ONLY the [q, n/128] bucket maxes (the score
+  matrix never exists in HBM). Zero score-buffer bandwidth; the exact
+  re-rank must then re-read corpus rows, so this backs the small-batch
+  serving path (:func:`pallas_bucketed_topk`).
+- ``scores_with_bucket_max``: emits the bf16 score matrix AND the bucket
+  maxes in one pass. Costs one score write but saves the full score
+  re-read the XLA path pays for its reduction, and the exact re-rank
+  gathers candidates from the score matrix (cheap). This backs the
+  large-batch path (:func:`pallas_exact_topk`), the production TPU search.
 
-Measured on v5e (1M x 1600 bf16 corpus, 1024 queries): the end-to-end exact
-path is within ~2x of the pure-matmul floor already, so this kernel is an
-optional backend (``scores_bucket_max``) and the default remains the XLA
-path; both are exercised by tests for equality (interpret mode -- the
-tunneled dev TPU does not lower Mosaic; native TPU hosts compile these
-directly).
+Bucket layout -- STRIDED, not contiguous: bucket ``b`` of corpus-row group
+``g`` (groups of ``GROUP = 128 * rows_per_bucket`` rows) contains the rows
+``g * GROUP + s * 128 + b``. Strided buckets let every grid step reduce its
+whole [TQ, BLK] score tile into a full 128-lane output block with a plain
+``jnp.maximum`` accumulation across revisits -- Mosaic rejects the
+contiguous layout's sub-128-lane dynamic stores ("cannot statically prove
+that index in dimension 1 is a multiple of 128"; observed on v5e). Bucket
+composition is a free choice: the final exact re-rank only needs a
+consistent row <-> bucket mapping, which :func:`bucket_members_view`
+centralizes.
+
+Kernel shape (see /opt/skills/guides/pallas_guide.md): grid
+``(q_tiles, groups, inner)``; per step the MXU computes a [TQ, BLK] score
+tile from VMEM-resident operands (Pallas pipelines the HBM->VMEM streaming
+of corpus blocks across grid steps via the BlockSpec index maps), the VPU
+folds it to [TQ, 128] partial maxes, and the revisited output block
+accumulates across the ``inner`` axis.
+
+Compiled and validated on TPU v5e (this round); interpret mode remains the
+CPU-test path (tests/test_pallas.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,64 +49,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bucket_max_kernel(q_ref, c_ref, out_ref, *, bucket: int, inner: int):
-    """One grid step: scores = q_tile @ c_blk.T, bucket-max reduce, write
-    into this inner step's slice of the (revisited) output block.
+def _iota_cols(base, blk):
+    return base + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
 
-    The output block holds 128 bucket maxes (the minimum lane-aligned tile);
-    each inner step contributes ``block_c // bucket`` of them.
-    """
+
+def _bucket_max_kernel(vc_ref, q_ref, c_ref, m_ref, *, block_c: int):
+    """One grid step: scores = q_tile @ c_blk.T; fold the [TQ, BLK] tile to
+    [TQ, 128] strided-bucket partial maxes; max-accumulate into the
+    revisited output block. Rows >= valid_count score -inf."""
     r = pl.program_id(2)
+    inner = pl.num_programs(2)
+    j = pl.program_id(1)
     scores = jax.lax.dot_general(
         q_ref[:],
         c_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [TQ, BLK]
+    base = (j * inner + r) * block_c
+    valid = _iota_cols(base, block_c) < vc_ref[0]
+    scores = jnp.where(valid, scores, -jnp.inf)
     tq, blk = scores.shape
-    nb_blk = blk // bucket
-    bmax = jnp.max(scores.reshape(tq, nb_blk, bucket), axis=-1)
-    out_ref[:, pl.ds(r * nb_blk, nb_blk)] = bmax
+    part = jnp.max(scores.reshape(tq, blk // 128, 128), axis=1)
+
+    @pl.when(r == 0)
+    def _():
+        m_ref[:] = part
+
+    @pl.when(r != 0)
+    def _():
+        m_ref[:] = jnp.maximum(m_ref[:], part)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bucket", "block_q", "block_c")
+    jax.jit,
+    static_argnames=("rows_per_bucket", "block_q", "block_c", "interpret"),
 )
 def scores_bucket_max(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
-    bucket: int = 128,
+    rows_per_bucket: int = 128,
     block_q: int = 256,
-    block_c: int = 2048,
+    block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused scores + bucket-max: returns [q, n // bucket] where entry
-    (i, j) = max over rows [j*bucket, (j+1)*bucket) of <queries[i], row>.
+    """Fused scores + strided-bucket max: returns [q, n // rows_per_bucket]
+    f32 where entry (i, g * 128 + b) = max over ``bucket_members_view``
+    bucket (g, b) of <queries[i], row>. The score matrix never reaches HBM.
 
-    The [TQ, BLK] score tile lives only in VMEM; the HBM write is the
-    bucket-max matrix, ``bucket``-fold smaller than the score matrix the
-    XLA path materializes. TPU tiling requires the output block's lane dim
-    to be 128, i.e. 128 buckets = 128 * bucket corpus rows per output
-    block, so an inner grid axis accumulates ``128 * bucket / block_c``
-    corpus sub-blocks into each revisited output block.
-
-    Constraints: q % block_q == 0, n % (128 * bucket) == 0,
-    (128 * bucket) % block_c == 0, block_c % bucket == 0.
+    Constraints: q % block_q == 0, n % (128 * rows_per_bucket) == 0,
+    (128 * rows_per_bucket) % block_c == 0, block_c % 128 == 0.
     """
     q, d = queries.shape
     n = corpus.shape[0]
-    rows_per_out = 128 * bucket
+    group = 128 * rows_per_bucket
     assert q % block_q == 0, (q, block_q)
-    assert n % rows_per_out == 0, (n, rows_per_out)
-    assert rows_per_out % block_c == 0, (rows_per_out, block_c)
-    assert block_c % bucket == 0, (block_c, bucket)
-    inner = rows_per_out // block_c
+    assert n % group == 0, (n, group)
+    assert group % block_c == 0, (group, block_c)
+    assert block_c % 128 == 0, block_c
+    inner = group // block_c
+    vc = jnp.asarray(
+        [n if valid_count is None else valid_count], jnp.int32
+    )
 
-    grid = (q // block_q, n // rows_per_out, inner)
+    grid = (q // block_q, n // group, inner)
     return pl.pallas_call(
-        functools.partial(_bucket_max_kernel, bucket=bucket, inner=inner),
-        out_shape=jax.ShapeDtypeStruct((q, n // bucket), jnp.float32),
+        functools.partial(_bucket_max_kernel, block_c=block_c),
+        out_shape=jax.ShapeDtypeStruct((q, n // rows_per_bucket), jnp.float32),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (block_q, d), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -104,10 +134,114 @@ def scores_bucket_max(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * q * n * d,
-            bytes_accessed=q * d * 2 + n * d * 2 + q * (n // bucket) * 4,
+            bytes_accessed=q * d * 2 + n * d * 2 + q * (n // rows_per_bucket) * 4,
             transcendentals=0,
         ),
-    )(queries, corpus)
+        interpret=interpret,
+    )(vc, queries, corpus)
+
+
+def _scores_bmax_kernel(vc_ref, q_ref, c_ref, s_ref, m_ref, *, block_c: int):
+    """Fused variant that also stores the bf16 score tile."""
+    r = pl.program_id(2)
+    inner = pl.num_programs(2)
+    j = pl.program_id(1)
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = (j * inner + r) * block_c
+    valid = _iota_cols(base, block_c) < vc_ref[0]
+    scores = jnp.where(valid, scores, -jnp.inf)
+    s_ref[:] = scores.astype(s_ref.dtype)
+    tq, blk = scores.shape
+    part = jnp.max(scores.reshape(tq, blk // 128, 128), axis=1)
+
+    @pl.when(r == 0)
+    def _():
+        m_ref[:] = part
+
+    @pl.when(r != 0)
+    def _():
+        m_ref[:] = jnp.maximum(m_ref[:], part)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_per_bucket", "block_q", "block_c", "score_dtype", "interpret"
+    ),
+)
+def scores_with_bucket_max(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    rows_per_bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused pass emitting (scores [q, n] ``score_dtype``, strided
+    bucket maxes [q, n // rows_per_bucket] f32). vs the XLA path: the
+    bucket reduction happens in VMEM, saving the full score-matrix re-read
+    between matmul and reduction. Same constraints as
+    :func:`scores_bucket_max`."""
+    q, d = queries.shape
+    n = corpus.shape[0]
+    group = 128 * rows_per_bucket
+    assert q % block_q == 0, (q, block_q)
+    assert n % group == 0, (n, group)
+    assert group % block_c == 0, (group, block_c)
+    assert block_c % 128 == 0, block_c
+    inner = group // block_c
+    vc = jnp.asarray(
+        [n if valid_count is None else valid_count], jnp.int32
+    )
+
+    grid = (q // block_q, n // group, inner)
+    return pl.pallas_call(
+        functools.partial(_scores_bmax_kernel, block_c=block_c),
+        out_shape=(
+            jax.ShapeDtypeStruct((q, n), score_dtype),
+            jax.ShapeDtypeStruct((q, n // rows_per_bucket), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (block_q, d), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_c, d),
+                lambda i, j, r: (j * inner + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_q, block_c),
+                lambda i, j, r: (i, j * inner + r),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_q, 128), lambda i, j, r: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=(
+                q * d * 2 + n * d * 2
+                + q * n * jnp.dtype(score_dtype).itemsize
+                + q * (n // rows_per_bucket) * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vc, queries, corpus)
 
 
 def _scores_kernel(q_ref, c_ref, out_ref):
@@ -119,12 +253,15 @@ def _scores_kernel(q_ref, c_ref, out_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_c"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_c", "interpret")
+)
 def scores_matmul(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     block_q: int = 256,
-    block_c: int = 2048,
+    block_c: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Plain tiled Pallas score matmul: [q, n] = queries @ corpus.T.
     The building block of the search pipeline, kept as a standalone kernel
@@ -153,39 +290,116 @@ def scores_matmul(
             bytes_accessed=q * d * 2 + n * d * 2 + q * n * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(queries, corpus)
 
 
+def bucket_members_view(corpus: jnp.ndarray, rows_per_bucket: int):
+    """View of the corpus grouped by strided bucket: [n_groups,
+    rows_per_bucket, 128, d] where bucket (g, b) -- global id g*128+b --
+    holds ``view[g, :, b]`` = global rows g*128*rows_per_bucket + s*128 + b.
+    The row <-> bucket mapping shared by all kernels/re-rankers here."""
+    n, d = corpus.shape
+    group = 128 * rows_per_bucket
+    assert n % group == 0
+    return corpus.reshape(n // group, rows_per_bucket, 128, d)
+
+
+def _global_rows(b_idx, c_pos, rows_per_bucket: int):
+    """Recover global row ids from (bucket ids [q,k], flat positions within
+    the gathered [q, k*rows_per_bucket] candidate block)."""
+    kk = c_pos // rows_per_bucket  # which of the k buckets
+    s = c_pos % rows_per_bucket    # stride index within the bucket
+    sel = jnp.take_along_axis(b_idx, kk, axis=1)
+    g, b = sel // 128, sel % 128
+    return g * (128 * rows_per_bucket) + s * 128 + b
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rows_per_bucket", "block_q", "block_c", "interpret"),
+)
 def pallas_bucketed_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
     k: int,
-    bucket: int = 128,
+    rows_per_bucket: int = 128,
     block_q: int = 256,
-    block_c: int = 2048,
+    block_c: int = 1024,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k using the fused Pallas bucket-max kernel for candidate
-    bucket selection, then an XLA gather + re-rank over the full scores of
-    the selected buckets (recomputed per bucket on the MXU).
+    """Exact top-k with ZERO score-matrix HBM traffic: fused bucket-max
+    kernel for candidate-bucket selection, then an exact re-rank over the
+    k selected buckets' corpus rows (recomputed on the MXU).
 
-    Equivalent to ops.topk.chunked_topk(mode='exact'); exchanges the HBM
-    score matrix for a recompute of k*bucket candidate scores per query.
-    NOTE the candidate gather reads q*k*bucket corpus rows -- at large q/k
-    this exceeds the score-matrix traffic it avoids, so this variant is for
-    small-batch / small-k serving; the chunked XLA path is the default.
+    NOTE the candidate gather reads q*k*rows_per_bucket corpus rows -- at
+    large q*k this exceeds the score traffic it avoids, so this variant is
+    for small-batch / small-k serving; :func:`pallas_exact_topk` is the
+    large-batch path.
+    """
+    q, d = queries.shape
+    bmax = scores_bucket_max(
+        queries, corpus, rows_per_bucket, block_q, block_c,
+        interpret=interpret,
+    )
+    _, b_idx = jax.lax.top_k(bmax, k)  # [q, k] strided-bucket ids
+    view = bucket_members_view(corpus, rows_per_bucket)  # [G, S, 128, d]
+    g, b = b_idx // 128, b_idx % 128
+    rows = view[g, :, b]  # [q, k, S, d]
+    cand = jnp.einsum(
+        "qd,qksd->qks",
+        queries.astype(jnp.float32),
+        rows.astype(jnp.float32),
+    ).reshape(q, k * rows_per_bucket)
+    c_vals, c_pos = jax.lax.top_k(cand, k)
+    return c_vals, _global_rows(b_idx, c_pos, rows_per_bucket)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rows_per_bucket", "block_q", "block_c", "score_dtype",
+        "interpret",
+    ),
+)
+def pallas_exact_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    rows_per_bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k, large-batch production path: one fused kernel pass
+    emits bf16 scores + bucket maxes; selection then gathers only the top-k
+    buckets' scores ([q, k, rows_per_bucket], ~bucket-fold less traffic
+    than a full score re-read) and re-ranks exactly.
+
+    Counterpart of the FAISS flat-index scan the reference serves from
+    (test_amazon_filterd.py:577-579); ranking matches
+    ops.topk.chunked_topk(mode='exact') at equal score dtype (ties may
+    resolve to a different equal-score row). Missing slots (k > valid
+    rows) carry (-inf, -1).
     """
     q, d = queries.shape
     n = corpus.shape[0]
-    bmax = scores_bucket_max(queries, corpus, bucket, block_q, block_c)
+    scores, bmax = scores_with_bucket_max(
+        queries, corpus, rows_per_bucket, block_q, block_c,
+        valid_count=valid_count, score_dtype=score_dtype,
+        interpret=interpret,
+    )
     _, b_idx = jax.lax.top_k(bmax, k)  # [q, k] bucket ids
-    # gather the selected buckets' corpus rows: [q, k, bucket, d]
-    rows = corpus.reshape(n // bucket, bucket, d)[b_idx]  # [q, k, bucket, d]
-    cand = jnp.einsum(
-        "qd,qkbd->qkb", queries.astype(jnp.float32), rows.astype(jnp.float32)
-    ).reshape(q, k * bucket)
-    c_vals, c_pos = jax.lax.top_k(cand, k)
-    sel_bucket = jnp.take_along_axis(b_idx, c_pos // bucket, axis=1)
-    idx = sel_bucket * bucket + c_pos % bucket
+    group = 128 * rows_per_bucket
+    s4 = scores.reshape(q, n // group, rows_per_bucket, 128)
+    g, b = b_idx // 128, b_idx % 128
+    qi = jnp.arange(q)[:, None]
+    cand = s4[qi, g, :, b].astype(jnp.float32)  # [q, k, S]
+    c_vals, c_pos = jax.lax.top_k(cand.reshape(q, k * rows_per_bucket), k)
+    idx = _global_rows(b_idx, c_pos, rows_per_bucket)
+    idx = jnp.where(jnp.isfinite(c_vals), idx, -1)
     return c_vals, idx
 
 
@@ -193,19 +407,18 @@ def pallas_bucketed_topk(
 # Packed Hamming: XOR + popcount fully in VMEM over uint32-packed codes.
 # The sign-matmul path (ops/hamming.py sign_topk) is the SPEED path (MXU);
 # this kernel is the MEMORY path: the corpus stays packed at 1 bit/bit in
-# HBM (32x smaller than +-1 bf16 x16 = 512x smaller than f32 embeddings)
-# and distances never materialize beyond a [q, n/bucket] bucket-min matrix.
-# Counterpart of FAISS IndexBinaryFlat's packed scan
+# HBM (16x smaller than +-1 bf16 = 32x smaller than bf16 embeddings of the
+# same width) and distances never materialize beyond a [q, n/128]
+# bucket-min matrix. Counterpart of FAISS IndexBinaryFlat's packed scan
 # (reference: fine_tune_ours.py:839-879).
 # ---------------------------------------------------------------------------
 
 
-def _hamming_bucket_min_kernel(q_ref, c_ref, out_ref, *, bucket: int,
-                               words: int):
-    """One grid step: packed-XOR popcount distances [TQ, BLK], bucket-min
-    reduce, write this inner step's slice of the output block. The per-word
-    Python loop keeps the VMEM working set at one [TQ, BLK] accumulator
-    instead of a [TQ, BLK, words] cube."""
+def _hamming_bucket_min_kernel(q_ref, c_ref, m_ref, *, words: int):
+    """One grid step: packed-XOR popcount distances [TQ, BLK], strided
+    bucket-min fold to [TQ, 128], min-accumulate into the revisited output
+    block. The per-word Python loop keeps the VMEM working set at one
+    [TQ, BLK] accumulator instead of a [TQ, BLK, words] cube."""
     r = pl.program_id(2)
     qb = q_ref[:].astype(jnp.uint32)   # [TQ, W]
     cb = c_ref[:].astype(jnp.uint32)   # [BLK, W]
@@ -215,41 +428,48 @@ def _hamming_bucket_min_kernel(q_ref, c_ref, out_ref, *, bucket: int,
     for j in range(words):  # static unroll
         x = jnp.bitwise_xor(qb[:, j][:, None], cb[:, j][None, :])
         dist = dist + jax.lax.population_count(x).astype(jnp.int32)
-    nb_blk = blk // bucket
-    bmin = jnp.min(dist.reshape(tq, nb_blk, bucket), axis=-1)
-    out_ref[:, pl.ds(r * nb_blk, nb_blk)] = bmin
+    part = jnp.min(dist.reshape(tq, blk // 128, 128), axis=1)
+
+    @pl.when(r == 0)
+    def _():
+        m_ref[:] = part
+
+    @pl.when(r != 0)
+    def _():
+        m_ref[:] = jnp.minimum(m_ref[:], part)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bucket", "block_q", "block_c")
+    jax.jit,
+    static_argnames=("rows_per_bucket", "block_q", "block_c", "interpret"),
 )
 def hamming_bucket_min(
     q_codes: jnp.ndarray,
     c_codes: jnp.ndarray,
-    bucket: int = 128,
+    rows_per_bucket: int = 128,
     block_q: int = 256,
-    block_c: int = 2048,
+    block_c: int = 1024,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused packed-Hamming + bucket-min: [q, n // bucket] where entry
-    (i, j) = min Hamming distance from query i to corpus rows
-    [j*bucket, (j+1)*bucket). Same grid/constraint structure as
-    :func:`scores_bucket_max` (q % block_q == 0, n % (128*bucket) == 0,
-    (128*bucket) % block_c == 0, block_c % bucket == 0)."""
+    """Fused packed-Hamming + strided-bucket min: [q, n // rows_per_bucket]
+    where entry (i, g * 128 + b) = min Hamming distance from query i to
+    ``bucket_members_view`` bucket (g, b). Same grid/constraint structure
+    as :func:`scores_bucket_max`."""
     q, w = q_codes.shape
     n = c_codes.shape[0]
-    rows_per_out = 128 * bucket
+    group = 128 * rows_per_bucket
     assert q % block_q == 0, (q, block_q)
-    assert n % rows_per_out == 0, (n, rows_per_out)
-    assert rows_per_out % block_c == 0, (rows_per_out, block_c)
-    assert block_c % bucket == 0, (block_c, bucket)
-    inner = rows_per_out // block_c
+    assert n % group == 0, (n, group)
+    assert group % block_c == 0, (group, block_c)
+    assert block_c % 128 == 0, block_c
 
-    grid = (q // block_q, n // rows_per_out, inner)
+    inner = group // block_c
+    grid = (q // block_q, n // group, inner)
     return pl.pallas_call(
-        functools.partial(
-            _hamming_bucket_min_kernel, bucket=bucket, words=w
+        functools.partial(_hamming_bucket_min_kernel, words=w),
+        out_shape=jax.ShapeDtypeStruct(
+            (q, n // rows_per_bucket), jnp.int32
         ),
-        out_shape=jax.ShapeDtypeStruct((q, n // bucket), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -266,38 +486,47 @@ def hamming_bucket_min(
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * q * n * w,  # xor + popcount + add per word
-            bytes_accessed=q * w * 4 + n * w * 4 + q * (n // bucket) * 4,
+            bytes_accessed=q * w * 4 + n * w * 4
+            + q * (n // rows_per_bucket) * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(q_codes, c_codes)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "rows_per_bucket", "block_q", "block_c", "interpret"),
+)
 def pallas_hamming_topk(
     q_codes: jnp.ndarray,
     c_codes: jnp.ndarray,
     k: int,
-    bucket: int = 128,
+    rows_per_bucket: int = 128,
     block_q: int = 256,
-    block_c: int = 2048,
+    block_c: int = 1024,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact Hamming top-k over packed codes: fused bucket-min kernel for
-    candidate selection, then an exact popcount re-rank of the k*bucket
-    gathered candidates. Identical ranking to ops.hamming.hamming_topk
-    (ties may resolve to a different equal-distance row). Returns
-    (distances ascending [q, k], indices)."""
+    candidate selection, then an exact popcount re-rank of the
+    k*rows_per_bucket gathered candidates. Identical distances to
+    ops.hamming.hamming_topk (ties may resolve to a different
+    equal-distance row). Returns (distances ascending [q, k], indices)."""
     q, w = q_codes.shape
-    n = c_codes.shape[0]
-    bmin = hamming_bucket_min(q_codes, c_codes, bucket, block_q, block_c)
+    bmin = hamming_bucket_min(
+        q_codes, c_codes, rows_per_bucket, block_q, block_c,
+        interpret=interpret,
+    )
     _, b_idx = jax.lax.top_k(-bmin, k)  # k best (smallest-min) buckets
-    rows = c_codes.reshape(n // bucket, bucket, w)[b_idx]  # [q, k, bucket, w]
+    view = bucket_members_view(c_codes, rows_per_bucket)  # [G, S, 128, w]
+    g, b = b_idx // 128, b_idx % 128
+    rows = view[g, :, b]  # [q, k, S, w]
     x = jnp.bitwise_xor(
         q_codes.astype(jnp.uint32)[:, None, None, :],
         rows.astype(jnp.uint32),
     )
     cand = jnp.sum(
         jax.lax.population_count(x).astype(jnp.int32), axis=-1
-    ).reshape(q, k * bucket)
+    ).reshape(q, k * rows_per_bucket)
     c_neg, c_pos = jax.lax.top_k(-cand, k)
-    sel_bucket = jnp.take_along_axis(b_idx, c_pos // bucket, axis=1)
-    idx = sel_bucket * bucket + c_pos % bucket
-    return -c_neg, idx
+    return -c_neg, _global_rows(b_idx, c_pos, rows_per_bucket)

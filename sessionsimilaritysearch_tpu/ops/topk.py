@@ -128,6 +128,7 @@ def chunked_topk(
     bucket: int = 128,
     recall_target: float = 0.95,
     score_dtype=jnp.float32,
+    corpus_scales: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k over corpus chunks.
 
@@ -154,6 +155,10 @@ def chunked_topk(
         ranking; bfloat16 halves the score-buffer HBM traffic (~20% more
         QPS at 1M x 1600, measured recall@10 = 1.0) -- ranking is exact at
         bf16 precision (MXU still accumulates f32 internally).
+      corpus_scales: optional [n] per-row dequantization scales for an
+        int8-quantized corpus (DenseIndex(quantize='int8')): the corpus
+        holds ``round(row / scale)`` int8 codes and true scores are
+        recovered as ``(q . code) * scale``. 'ip'/'cos' only.
 
     Returns:
       (values [q, k], indices [q, k]) sorted descending by score. Invalid
@@ -172,8 +177,13 @@ def chunked_topk(
     n_pad = n_chunks * chunk_size
     if n_pad != n:
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
+        if corpus_scales is not None:
+            corpus_scales = jnp.pad(corpus_scales, (0, n_pad - n))
     # [n_chunks, chunk, d] so scan slices are contiguous
     corpus_chunks = corpus.reshape(n_chunks, chunk_size, d)
+    if corpus_scales is not None:
+        assert metric != "l2", "quantized corpus supports 'ip'/'cos' only"
+        scale_chunks = corpus_scales.reshape(n_chunks, chunk_size)
 
     kk = min(k, chunk_size)
     use_bucketed = (
@@ -190,14 +200,23 @@ def chunked_topk(
 
     def step(carry, inp):
         best_vals, best_idx = carry
-        chunk_i, chunk = inp
+        if corpus_scales is not None:
+            chunk_i, chunk, scales = inp
+        else:
+            chunk_i, chunk = inp
         base = chunk_i * chunk_size
         if metric == "l2":
             cc = jnp.sum(chunk * chunk, axis=-1)
             qc = jnp.dot(queries, chunk.T, preferred_element_type=score_dtype)
             scores = (2.0 * qc - qq - cc[None, :]).astype(score_dtype)
         else:
+            if not jnp.issubdtype(chunk.dtype, jnp.floating):
+                chunk = chunk.astype(queries.dtype)  # int8 codes -> compute
             scores = jnp.dot(queries, chunk.T, preferred_element_type=score_dtype)
+            if corpus_scales is not None:
+                scores = (
+                    scores.astype(jnp.float32) * scales[None, :]
+                ).astype(score_dtype)
         gidx = base + col  # [1, chunk]
         valid = gidx < valid_count
         scores = jnp.where(valid, scores, -jnp.inf)
@@ -218,9 +237,10 @@ def chunked_topk(
         jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
         jnp.full((q, k), -1, dtype=jnp.int32),
     )
-    (vals, idx), _ = jax.lax.scan(
-        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), corpus_chunks)
-    )
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), corpus_chunks)
+    if corpus_scales is not None:
+        xs = xs + (scale_chunks,)
+    (vals, idx), _ = jax.lax.scan(step, init, xs)
     return vals, idx
 
 

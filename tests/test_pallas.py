@@ -1,9 +1,8 @@
 """Pallas kernel tests (interpret mode).
 
-The CI/test environment is a CPU mesh and the tunneled single-TPU dev
-environment does not lower Mosaic, so kernels are validated through the
-Pallas interpreter against XLA references; on native TPU hosts the same
-calls compile to Mosaic.
+The CI/test environment is a CPU mesh, so kernels are validated through the
+Pallas interpreter against XLA references; the same calls Mosaic-compile on
+TPU (validated on v5e this round -- see docs/RESULTS.md).
 """
 
 import jax
@@ -19,9 +18,18 @@ from sessionsimilaritysearch_tpu.ops.topk import chunked_topk
 @pytest.fixture(scope="module")
 def data():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    c = jax.random.normal(k1, (4096, 256), dtype=jnp.bfloat16)
+    c = jax.random.normal(k1, (8192, 256), dtype=jnp.bfloat16)
     q = jax.random.normal(k2, (256, 256), dtype=jnp.bfloat16)
     return q, c
+
+
+def _strided_bucket_ref(s_ref: np.ndarray, rows_per_bucket: int, op):
+    """Reference strided-bucket reduce: bucket (g, b) of groups of
+    128*rows_per_bucket columns holds columns g*group + s*128 + b."""
+    q, n = s_ref.shape
+    group = 128 * rows_per_bucket
+    v = s_ref.reshape(q, n // group, rows_per_bucket, 128)
+    return op(v, axis=2).reshape(q, -1)
 
 
 class TestPallasMips:
@@ -41,28 +49,92 @@ class TestPallasMips:
         with pltpu.force_tpu_interpret_mode():
             bm = np.asarray(
                 pallas_mips.scores_bucket_max(
-                    q, c, bucket=32, block_q=128, block_c=1024
+                    q, c, rows_per_bucket=32, block_q=128, block_c=1024
                 )
             )
         s_ref = np.asarray(
             jnp.dot(q, c.T, preferred_element_type=jnp.float32)
         )
-        bm_ref = np.max(s_ref.reshape(256, -1, 32), axis=-1)
+        bm_ref = _strided_bucket_ref(s_ref, 32, np.max)
         np.testing.assert_allclose(bm, bm_ref, atol=0.5, rtol=1e-2)
+
+    def test_scores_with_bucket_max(self, data):
+        q, c = data
+        with pltpu.force_tpu_interpret_mode():
+            s_pl, bm = pallas_mips.scores_with_bucket_max(
+                q, c, rows_per_bucket=32, block_q=128, block_c=1024,
+                score_dtype=jnp.float32,
+            )
+        s_pl, bm = np.asarray(s_pl), np.asarray(bm)
+        s_ref = np.asarray(
+            jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        )
+        np.testing.assert_allclose(s_pl, s_ref, atol=0.5, rtol=1e-2)
+        np.testing.assert_allclose(
+            bm, _strided_bucket_ref(s_pl, 32, np.max), atol=1e-6
+        )
+
+    def test_scores_with_bucket_max_valid_count(self, data):
+        q, c = data
+        vc = 5000
+        with pltpu.force_tpu_interpret_mode():
+            s_pl, bm = pallas_mips.scores_with_bucket_max(
+                q, c, rows_per_bucket=32, block_q=128, block_c=1024,
+                valid_count=jnp.asarray(vc), score_dtype=jnp.float32,
+            )
+        s_pl = np.asarray(s_pl)
+        assert np.isneginf(s_pl[:, vc:]).all()
+        assert np.isfinite(s_pl[:, :vc]).all()
+        np.testing.assert_allclose(
+            np.asarray(bm), _strided_bucket_ref(s_pl, 32, np.max)
+        )
 
     def test_bucketed_topk_exact(self, data):
         q, c = data
         with pltpu.force_tpu_interpret_mode():
-            v1, i1 = pallas_mips.pallas_bucketed_topk(q, c, 10, bucket=32)
-        v2, i2 = chunked_topk(q, c, 10, chunk_size=4096, mode="sort")
+            v1, i1 = pallas_mips.pallas_bucketed_topk(
+                q, c, 10, rows_per_bucket=32
+            )
+        v2, i2 = chunked_topk(q, c, 10, chunk_size=8192, mode="sort")
         np.testing.assert_allclose(
             np.asarray(v1), np.asarray(v2), atol=0.5, rtol=1e-2
         )
 
+    def test_exact_topk_matches_chunked(self, data):
+        q, c = data
+        with pltpu.force_tpu_interpret_mode():
+            v1, i1 = pallas_mips.pallas_exact_topk(
+                q, c, 10, rows_per_bucket=32, score_dtype=jnp.float32
+            )
+        v2, i2 = chunked_topk(q, c, 10, chunk_size=8192, mode="sort")
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), atol=1e-3, rtol=1e-5
+        )
+        # returned global ids really carry their reported scores
+        s_ref = np.asarray(
+            jnp.dot(q, c.T, preferred_element_type=jnp.float32)
+        )
+        got = np.take_along_axis(s_ref, np.asarray(i1), axis=1)
+        np.testing.assert_allclose(got, np.asarray(v1), atol=1e-3)
+
+    def test_exact_topk_valid_count_and_missing_slots(self, data):
+        q, c = data
+        with pltpu.force_tpu_interpret_mode():
+            v, i = pallas_mips.pallas_exact_topk(
+                q, c, 10, rows_per_bucket=32,
+                valid_count=jnp.asarray(7), score_dtype=jnp.float32,
+            )
+        v, i = np.asarray(v), np.asarray(i)
+        assert (i[:, 7:] == -1).all()
+        assert np.isneginf(v[:, 7:]).all()
+        assert (i[:, :7] < 7).all() and (i[:, :7] >= 0).all()
+
     def test_shape_constraints_enforced(self, data):
         q, c = data
         with pytest.raises(AssertionError):
-            pallas_mips.scores_bucket_max(q, c, bucket=32, block_c=999)
+            pallas_mips.scores_bucket_max(
+                q, c, rows_per_bucket=32, block_c=999
+            )
 
 
 class TestPallasHamming:
@@ -81,14 +153,14 @@ class TestPallasHamming:
         _, _, qc, cc = codes
         with pltpu.force_tpu_interpret_mode():
             bmin = pallas_mips.hamming_bucket_min(
-                qc, cc, bucket=16, block_q=256, block_c=2048
+                qc, cc, rows_per_bucket=16, block_q=256, block_c=2048
             )
         x = np.bitwise_xor(
             np.asarray(qc).view(np.uint32)[:, None, :],
             np.asarray(cc).view(np.uint32)[None, :, :],
         )
         dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-        ref = dist.reshape(256, 4096 // 16, 16).min(-1)
+        ref = _strided_bucket_ref(dist, 16, np.min)
         np.testing.assert_array_equal(np.asarray(bmin), ref)
 
     def test_pallas_hamming_topk_matches_oracle(self, codes):
@@ -97,7 +169,7 @@ class TestPallasHamming:
         q_signs, c_signs, qc, cc = codes
         with pltpu.force_tpu_interpret_mode():
             d, i = pallas_mips.pallas_hamming_topk(
-                qc, cc, k=10, bucket=16, block_q=256, block_c=2048
+                qc, cc, k=10, rows_per_bucket=16, block_q=256, block_c=2048
             )
         d, i = np.asarray(d), np.asarray(i)
         ov, _ = oracle_hamming_np(q_signs, c_signs, 10)

