@@ -291,22 +291,34 @@ class SessionSearchEngine:
         lens = np.where(known.ravel(), off[g + 1] - starts, 0)
         # gather every candidate's item ids into one flat stream
         total = int(lens.sum())
-        owner = np.repeat(np.arange(q * m), lens)
-        prev = np.repeat(np.cumsum(lens) - lens, lens)
-        cand_items = flat[np.arange(total) - prev + np.repeat(starts, lens)]
-        # membership of (query row, item) pairs, encoded as single ints
+        ends = np.cumsum(lens)
+        seg0 = ends - lens
+        cand_items = flat[np.arange(total) + np.repeat(starts - seg0, lens)]
+        # membership of (query row, item) pairs, encoded as single ints and
+        # resolved by binary search in the (small, sorted) query-key set --
+        # np.isin would sort the multi-million-candidate stream instead
         q_lens = np.asarray([len(s) for s in q_sets], dtype=np.int64)
-        q_rows = np.repeat(np.arange(q), q_lens)
         q_items = np.asarray(
             [i for s in q_sets for i in s], dtype=np.int64
         )
         big = int(max(flat.max(initial=0), q_items.max(initial=0))) + 1
-        member = np.isin(
-            (owner // m) * big + cand_items, q_rows * big + q_items
+        qkeys = np.repeat(np.arange(q), q_lens) * big + q_items
+        qkeys.sort()
+        row_of_cand = np.repeat(
+            np.arange(q, dtype=np.int64), lens.reshape(q, m).sum(axis=1)
         )
-        inter = np.bincount(
-            owner, weights=member, minlength=q * m
-        ).reshape(q, m)
+        ckeys = row_of_cand * big + cand_items
+        if qkeys.size:
+            p = np.searchsorted(qkeys, ckeys)
+            member = (p < qkeys.size) & (
+                qkeys[np.minimum(p, qkeys.size - 1)] == ckeys
+            )
+        else:
+            member = np.zeros(total, dtype=bool)
+        # per-candidate intersection sizes: segment sums via one cumsum
+        cm = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(member, out=cm[1:])
+        inter = (cm[ends] - cm[seg0]).reshape(q, m)
         denom = np.sqrt(
             lens.reshape(q, m).astype(np.float64) * q_lens[:, None]
         )

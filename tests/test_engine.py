@@ -320,6 +320,18 @@ class TestVectorizedQueryPaths:
             eng._items[int(i)] for i in rng.integers(0, 100_000, size=q)
         ]
         eng._np_meta()  # build the metadata snapshot outside the timer
+        # calibrate to this machine: one lexsort at candidate volume is the
+        # kind of single numpy pass the implementations are built from (the
+        # dev hosts throttle / page-fault erratically, so an absolute
+        # wall-clock bound flakes; what the test pins is "a few vectorized
+        # passes", i.e. a small multiple of one such pass -- the old
+        # per-candidate Python loops were >100x one pass)
+        t0 = time.perf_counter()
+        np.lexsort(
+            (np.tile(np.arange(m), q), rng.standard_normal(q * m),
+             np.repeat(np.arange(q), m))
+        )
+        unit_s = max(time.perf_counter() - t0, 1e-3)
         t0 = time.perf_counter()
         D, I = eng._hybrid_rerank(D2, gid, q_sets, k, 0.5)
         hybrid_s = time.perf_counter() - t0
@@ -327,7 +339,9 @@ class TestVectorizedQueryPaths:
         Dd, Id = eng._dedup_topk(D2, gid, k)
         dedup_s = time.perf_counter() - t0
         assert I.shape == (q, k) and Id.shape == (q, k)
-        # ~400k candidates/call: vectorized passes finish in well under a
-        # second; the old per-candidate Python loops took several seconds
-        assert hybrid_s < 1.5, f"hybrid re-rank too slow: {hybrid_s:.2f}s"
-        assert dedup_s < 1.5, f"dedup too slow: {dedup_s:.2f}s"
+        assert hybrid_s < 30 * unit_s, (
+            f"hybrid re-rank too slow: {hybrid_s:.2f}s vs unit {unit_s:.3f}s"
+        )
+        assert dedup_s < 30 * unit_s, (
+            f"dedup too slow: {dedup_s:.2f}s vs unit {unit_s:.3f}s"
+        )
