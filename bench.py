@@ -7,6 +7,10 @@ with recall@10 vs a brute-force oracle verified on a subcorpus.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 10_000 (the >=10k QPS/chip target from BASELINE.json).
+The same line carries the binary (Hamming) serving path as extra keys
+("binary_sign_qps_250b": the +-1 matmul scan over 250-bit codes, the
+reference's timed hashing path, fine_tune_ours.py:871-879) so the driver's
+single-line parse stays intact while the binary number is recorded.
 """
 
 from __future__ import annotations
@@ -104,6 +108,34 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     qps = Q / dt
 
+    # --- binary (Hamming) serving path: exact top-K over 250-bit sign
+    # codes via the single-pass +-1 bf16 matmul scan (lossless: +-1 dots
+    # are integers <= 250, below bf16's 256 exact-integer limit). Ranking
+    # pinned identical to XOR+popcount by tests/test_topk_index.py.
+    from sessionsimilaritysearch_tpu.ops.hamming import sign_topk
+
+    bits = 250 if N >= (1 << 20) else 64  # the reference's code width
+    kb1, kb2 = jax.random.split(jax.random.PRNGKey(1))
+    c_signs = jnp.where(
+        jax.random.bernoulli(kb1, 0.5, (N, bits)), 1.0, -1.0
+    ).astype(jnp.bfloat16)
+    q_signs = jnp.where(
+        jax.random.bernoulli(kb2, 0.5, (Q, bits)), 1.0, -1.0
+    ).astype(jnp.bfloat16)
+    jax.block_until_ready((c_signs, q_signs))
+    qb = q_signs
+    for _ in range(3):
+        bd, _ = sign_topk(qb, c_signs, K, n_bits=bits)
+        qb = jnp.where(bd[:, :1] < -1, -qb, qb)  # data dep; never flips
+    np.asarray(bd)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bd, bi = sign_topk(qb, c_signs, K, n_bits=bits)
+        qb = jnp.where(bd[:, :1] < -1, -qb, qb)
+    np.asarray(bd)
+    b_dt = (time.perf_counter() - t0) / iters
+    binary_qps = Q / b_dt
+
     result = {
         "metric": f"exact_top{K}_qps_per_chip_{N>>20}M_x{D}d"
         + ("_bf16score" if score_dtype == jnp.bfloat16 else "")
@@ -111,6 +143,7 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / 10_000, 3),
+        f"binary_sign_qps_{bits}b": round(binary_qps, 1),
     }
     print(json.dumps(result))
     print(

@@ -4,14 +4,18 @@ Replaces FAISS ``IndexBinaryFlat`` over packbits codes (reference:
 fine_tune_ours.py:839-843 build, :871-879 timed search). Codes come from the
 BinarizeHead's sign outputs. Two storage modes:
 
-- 'packed': int32 words, XOR+popcount scan (memory-optimal);
-- 'sign': +-1 bf16 rows, ranked by MXU matmul (compute-optimal; see
-  ops/hamming.py for the dot<->Hamming identity).
+- 'packed': int32 words, XOR+popcount scan (memory-optimal). On TPU the
+  scan runs as the fused Pallas bucket-min kernel
+  (ops.pallas_mips.pallas_hamming_topk) -- measured 3x the sign-matmul
+  path and 34x the XLA popcount scan at 1M x 250 bits on v5e -- with
+  automatic fallback to the XLA scan where Mosaic is unavailable.
+- 'sign': +-1 bf16 rows, ranked by MXU matmul (see ops/hamming.py for the
+  dot<->Hamming identity).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,17 +23,38 @@ import numpy as np
 from sessionsimilaritysearch_tpu.index.dense import _write_rows
 from sessionsimilaritysearch_tpu.ops import hamming
 
+# Pallas kernel grid units: buffers are padded so any power-of-two
+# rows_per_bucket <= 128 divides them (group = 128 * rpb divides 16384).
+_GROUP = 128 * 128
+_BLOCK_Q = 256
+
 
 class BinaryIndex:
-    def __init__(self, n_bits: int, capacity: int, mode: str = "sign"):
+    def __init__(
+        self,
+        n_bits: int,
+        capacity: int,
+        mode: str = "sign",
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
+    ):
+        """``use_pallas``: None = auto (packed mode on an accelerator),
+        True/False = force. ``interpret`` runs the kernel in interpret mode
+        (CPU tests)."""
         assert mode in ("packed", "sign")
         self.n_bits = n_bits
         self.capacity = capacity
         self.mode = mode
         self.size = 0
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self._pallas_broken = False
         if mode == "packed":
             self.words = -(-n_bits // 32)
-            self._buf = jnp.zeros((capacity, self.words), dtype=jnp.int32)
+            # round the buffer up to the kernel grid unit; rows past
+            # ``capacity`` are never valid (search masks at ``size``)
+            cap_pad = -(-capacity // _GROUP) * _GROUP
+            self._buf = jnp.zeros((cap_pad, self.words), dtype=jnp.int32)
         else:
             self._buf = -jnp.ones((capacity, n_bits), dtype=jnp.bfloat16)
 
@@ -55,14 +80,60 @@ class BinaryIndex:
         )
         self.size += m
 
+    def _pallas_wanted(self, k: int) -> bool:
+        if self.mode != "packed" or self._pallas_broken:
+            return False
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if self.interpret:
+            return False
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+
+    def _search_pallas(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        from sessionsimilaritysearch_tpu.ops.pallas_mips import (
+            pallas_hamming_topk,
+        )
+
+        nq = q.shape[0]
+        # scan only whole groups covering the valid prefix
+        n_scan = max(-(-self.size // _GROUP) * _GROUP, _GROUP)
+        # rows_per_bucket: largest power of two <= 128 leaving >= k buckets
+        rpb = 128
+        while rpb > 1 and n_scan // rpb < k:
+            rpb //= 2
+        if n_scan // rpb < k:
+            raise ValueError(f"k={k} too large for {n_scan} rows")
+        q_pad = -(-nq // _BLOCK_Q) * _BLOCK_Q
+        if q_pad != nq:
+            q = jnp.pad(q, ((0, q_pad - nq), (0, 0)))
+        d, i = pallas_hamming_topk(
+            q, self._buf[:n_scan], k, rows_per_bucket=rpb,
+            block_q=_BLOCK_Q,
+            valid_count=jnp.asarray(self.size, jnp.int32),
+            interpret=self.interpret,
+        )
+        return np.asarray(d[:nq]), np.asarray(i[:nq])
+
     def search(self, q_signs, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (hamming distances ascending [q,k], indices [q,k])."""
         q_signs = np.asarray(q_signs)
-        buf = self._buf[: self.size]
         if self.mode == "packed":
             q = jnp.asarray(hamming.pack_bits_np(q_signs))
-            d, i = hamming.hamming_topk(q, buf, k)
+            if self._pallas_wanted(k):
+                try:
+                    return self._search_pallas(q, k)
+                except ValueError:
+                    raise
+                except Exception:
+                    # Mosaic unavailable on this backend: remember and use
+                    # the XLA scan from now on
+                    self._pallas_broken = True
+            d, i = hamming.hamming_topk(q, self._buf[: self.size], k)
         else:
             q = jnp.where(jnp.asarray(q_signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
-            d, i = hamming.sign_topk(q, buf, k, n_bits=self.n_bits)
+            d, i = hamming.sign_topk(
+                q, self._buf[: self.size], k, n_bits=self.n_bits
+            )
         return np.asarray(d), np.asarray(i)

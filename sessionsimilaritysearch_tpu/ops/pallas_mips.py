@@ -346,10 +346,14 @@ def pallas_bucketed_topk(
     view = bucket_members_view(corpus, rows_per_bucket)  # [G, S, 128, d]
     g, b = b_idx // 128, b_idx % 128
     rows = view[g, :, b]  # [q, k, S, d]
+    # keep the gathered rows in the corpus dtype and accumulate in f32 on
+    # the MXU -- casting the [q, k, S, d] gather to f32 first doubles its
+    # HBM footprint (q=256, k=100, S=128, d=1600 would materialize 21 GB)
     cand = jnp.einsum(
         "qd,qksd->qks",
-        queries.astype(jnp.float32),
-        rows.astype(jnp.float32),
+        queries.astype(corpus.dtype),
+        rows,
+        preferred_element_type=jnp.float32,
     ).reshape(q, k * rows_per_bucket)
     c_vals, c_pos = jax.lax.top_k(cand, k)
     return c_vals, _global_rows(b_idx, c_pos, rows_per_bucket)
@@ -418,15 +422,22 @@ def _hamming_bucket_min_kernel(q_ref, c_ref, m_ref, *, words: int):
     """One grid step: packed-XOR popcount distances [TQ, BLK], strided
     bucket-min fold to [TQ, 128], min-accumulate into the revisited output
     block. The per-word Python loop keeps the VMEM working set at one
-    [TQ, BLK] accumulator instead of a [TQ, BLK, words] cube."""
+    [TQ, BLK] accumulator instead of a [TQ, BLK, words] cube.
+
+    Deliberately NO in-kernel valid_count masking: adding the SMEM scalar +
+    per-step iota/where was measured to slow the kernel ~5x on v5e (40 ms
+    -> 195 ms at 1M x 250 bits; likely deoptimized pipelining). Invalid
+    tail rows can only make a bucket's min SMALLER (false-positive bucket,
+    never a false negative), so :func:`pallas_hamming_topk` compensates by
+    widening the bucket selection instead -- see there."""
     r = pl.program_id(2)
     qb = q_ref[:].astype(jnp.uint32)   # [TQ, W]
     cb = c_ref[:].astype(jnp.uint32)   # [BLK, W]
     tq = qb.shape[0]
     blk = cb.shape[0]
     dist = jnp.zeros((tq, blk), dtype=jnp.int32)
-    for j in range(words):  # static unroll
-        x = jnp.bitwise_xor(qb[:, j][:, None], cb[:, j][None, :])
+    for jw in range(words):  # static unroll
+        x = jnp.bitwise_xor(qb[:, jw][:, None], cb[:, jw][None, :])
         dist = dist + jax.lax.population_count(x).astype(jnp.int32)
     part = jnp.min(dist.reshape(tq, blk // 128, 128), axis=1)
 
@@ -454,7 +465,8 @@ def hamming_bucket_min(
     """Fused packed-Hamming + strided-bucket min: [q, n // rows_per_bucket]
     where entry (i, g * 128 + b) = min Hamming distance from query i to
     ``bucket_members_view`` bucket (g, b). Same grid/constraint structure
-    as :func:`scores_bucket_max`."""
+    as :func:`scores_bucket_max`. No validity masking -- see the kernel
+    docstring; callers mask at re-rank time."""
     q, w = q_codes.shape
     n = c_codes.shape[0]
     group = 128 * rows_per_bucket
@@ -505,28 +517,55 @@ def pallas_hamming_topk(
     rows_per_bucket: int = 128,
     block_q: int = 256,
     block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact Hamming top-k over packed codes: fused bucket-min kernel for
     candidate selection, then an exact popcount re-rank of the
     k*rows_per_bucket gathered candidates. Identical distances to
     ops.hamming.hamming_topk (ties may resolve to a different
-    equal-distance row). Returns (distances ascending [q, k], indices)."""
+    equal-distance row). Returns (distances ascending [q, k], indices);
+    rows >= valid_count are excluded and missing slots carry
+    (INT32_MAX, -1), matching hamming_topk's conventions.
+
+    Exactness with a valid_count: the kernel computes bucket mins WITHOUT
+    validity masking (masking in-kernel measured 5x slower -- see
+    _hamming_bucket_min_kernel). An invalid tail row can only make its
+    bucket's min smaller, i.e. produce a FALSE-POSITIVE bucket; a true
+    top-k row's bucket min is never hurt. Invalid rows all live in the
+    final 128-row-group, so they contaminate at most 128 buckets; at most
+    k-1 buckets can genuinely outrank a true top-k row's bucket, so
+    selecting k+128 buckets and masking candidates by global id at re-rank
+    keeps the result exact."""
     q, w = q_codes.shape
+    n = c_codes.shape[0]
+    big = jnp.iinfo(jnp.int32).max
     bmin = hamming_bucket_min(
         q_codes, c_codes, rows_per_bucket, block_q, block_c,
         interpret=interpret,
     )
-    _, b_idx = jax.lax.top_k(-bmin, k)  # k best (smallest-min) buckets
+    kb = k if valid_count is None else min(k + 128, n // rows_per_bucket)
+    _, b_idx = jax.lax.top_k(-bmin, kb)  # best (smallest-min) buckets
     view = bucket_members_view(c_codes, rows_per_bucket)  # [G, S, 128, w]
     g, b = b_idx // 128, b_idx % 128
-    rows = view[g, :, b]  # [q, k, S, w]
+    rows = view[g, :, b]  # [q, kb, S, w]
     x = jnp.bitwise_xor(
         q_codes.astype(jnp.uint32)[:, None, None, :],
         rows.astype(jnp.uint32),
     )
     cand = jnp.sum(
         jax.lax.population_count(x).astype(jnp.int32), axis=-1
-    ).reshape(q, k * rows_per_bucket)
+    ).reshape(q, kb * rows_per_bucket)
+    # mask candidates whose GLOBAL row id falls beyond valid_count (a
+    # selected bucket can straddle the valid boundary: strided layout)
+    all_pos = jnp.broadcast_to(
+        jnp.arange(kb * rows_per_bucket, dtype=jnp.int32),
+        (q, kb * rows_per_bucket),
+    )
+    gids = _global_rows(b_idx, all_pos, rows_per_bucket)
+    if valid_count is not None:
+        cand = jnp.where(gids < valid_count, cand, big)
     c_neg, c_pos = jax.lax.top_k(-cand, k)
-    return -c_neg, _global_rows(b_idx, c_pos, rows_per_bucket)
+    idx = jnp.take_along_axis(gids, c_pos, axis=1)
+    dist = -c_neg
+    return dist, jnp.where(dist < big, idx, -1)

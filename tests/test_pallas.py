@@ -180,3 +180,45 @@ class TestPallasHamming:
         cb = (c_signs > 0).astype(np.int32)
         true = (qb[:, None, :] != cb[i]).sum(-1)
         np.testing.assert_array_equal(true, d)
+
+    def test_pallas_hamming_topk_valid_count(self, codes):
+        """Rows >= valid_count never appear: a selected bucket straddling
+        the valid boundary must not leak its padded members (the strided
+        layout spreads the tail across every bucket of the last group)."""
+        from sessionsimilaritysearch_tpu.ops.hamming import oracle_hamming_np
+
+        q_signs, c_signs, qc, cc = codes
+        valid = 3000  # mid-group cut: 4096-row corpus, groups of 2048
+        with pltpu.force_tpu_interpret_mode():
+            d, i = pallas_mips.pallas_hamming_topk(
+                qc, cc, k=10, rows_per_bucket=16, block_q=256,
+                block_c=2048, valid_count=jnp.asarray(valid, jnp.int32),
+            )
+        d, i = np.asarray(d), np.asarray(i)
+        assert i.max() < valid
+        ov, _ = oracle_hamming_np(q_signs, c_signs[:valid], 10)
+        np.testing.assert_array_equal(np.sort(d, axis=1), np.sort(ov, axis=1))
+
+    def test_binary_index_pallas_path(self, codes):
+        """BinaryIndex(packed, use_pallas=True, interpret=True): odd sizes,
+        padded queries, streaming inserts -- identical result set to the
+        XLA scan."""
+        from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
+
+        q_signs, c_signs, _, _ = codes
+        pall = BinaryIndex(n_bits=250, capacity=4096, mode="packed",
+                           use_pallas=True, interpret=True)
+        xla = BinaryIndex(n_bits=250, capacity=4096, mode="packed",
+                          use_pallas=False)
+        pall.add(c_signs[:1000])  # not a multiple of any kernel unit
+        xla.add(c_signs[:1000])
+        dp, ip = pall.search(q_signs[:13], k=7)  # q needs padding to 256
+        dx, ix = xla.search(q_signs[:13], k=7)
+        np.testing.assert_array_equal(np.sort(dp, 1), np.sort(dx, 1))
+        assert ip.max() < 1000
+        # stream more rows in; the scan prefix must grow with size
+        pall.add(c_signs[1000:3000])
+        xla.add(c_signs[1000:3000])
+        dp, ip = pall.search(q_signs[:13], k=7)
+        dx, ix = xla.search(q_signs[:13], k=7)
+        np.testing.assert_array_equal(np.sort(dp, 1), np.sort(dx, 1))
