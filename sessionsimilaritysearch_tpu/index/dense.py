@@ -116,9 +116,18 @@ class DenseIndex:
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:
         scores descending for 'cos'/'ip', squared distances ascending for
-        'l2'; missing slots are (-inf/+inf, -1)."""
+        'l2'; missing slots are (-inf/+inf, -1).
+
+        Query batches are padded up to the next power of two (min 8) so a
+        variable-batch serving caller compiles O(log max_q) programs
+        instead of one per distinct batch size; the corpus side never
+        retraces (fixed capacity + valid_count masking)."""
         qdtype = jnp.bfloat16 if self.quantize else self.dtype
         queries = jnp.asarray(queries, qdtype)
+        nq = queries.shape[0]
+        q_pad = max(8, 1 << (max(nq - 1, 1)).bit_length())
+        if q_pad != nq:
+            queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self.metric == "cos":
             queries = topk_ops.l2_normalize(queries).astype(qdtype)
         metric = "ip" if self.metric == "cos" else self.metric
@@ -133,7 +142,7 @@ class DenseIndex:
             score_dtype=self.score_dtype,
             corpus_scales=self._scales,
         )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
         if self.metric == "l2":
             vals = -vals  # back to ascending squared distance
         return vals, idx

@@ -116,6 +116,12 @@ class ShardedDenseIndex:
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         queries = jnp.asarray(queries, self.dtype)
+        nq = queries.shape[0]
+        # bucket query batches to powers of two (bounded retraces for
+        # variable-batch serving; same policy as DenseIndex.search)
+        q_pad = max(8, 1 << (max(nq - 1, 1)).bit_length())
+        if q_pad != nq:
+            queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self.metric == "cos":
             queries = topk_ops.l2_normalize(queries).astype(self.dtype)
         local_fill = self.size // self.ndev
@@ -134,7 +140,7 @@ class ShardedDenseIndex:
             chunk_size=self.chunk_size,
             mode=self.mode,
         )
-        return np.asarray(vals), np.asarray(ids)
+        return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 
     # --- persistence: the sharded corpus IS the index (SURVEY.md §5 plan)
     def save(self, path: str) -> None:

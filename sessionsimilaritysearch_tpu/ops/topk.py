@@ -164,6 +164,16 @@ def chunked_topk(
       (values [q, k], indices [q, k]) sorted descending by score. Invalid
       slots (k > valid rows) carry -inf / index -1, matching FAISS's
       missing-result convention.
+
+    NOTE on shapes: this is a ``jax.jit`` function, so every distinct
+    (q, n, k, d) combination compiles its own program (~20-40 s through the
+    dev tunnel, cached after). Serving callers with variable batch sizes
+    should pad queries to a fixed set of batch shapes before calling --
+    DenseIndex.search buckets query batches to powers of two for exactly
+    this reason; ad-hoc callers that stream odd-sized batches will eat
+    silent recompiles. ``valid_count`` exists so GROWING a corpus does NOT
+    retrace (allocate capacity once, mask the tail) -- pass it instead of
+    slicing the corpus to size.
     """
     q, d = queries.shape
     n = corpus.shape[0]

@@ -151,6 +151,20 @@ class TestDenseIndex:
         with pytest.raises(ValueError):
             index.add(rng.standard_normal((11, 8)).astype(np.float32))
 
+    def test_query_batch_padding_transparent(self, rng):
+        """search() buckets query batches to powers of two internally
+        (bounded retraces for variable-batch serving); every batch size
+        must return exactly the unpadded result."""
+        c = rng.standard_normal((200, 16)).astype(np.float32)
+        index = build_index(c, metric="cos")
+        qs = rng.standard_normal((13, 16)).astype(np.float32)
+        D_all, I_all = index.search(qs, 4)
+        for nq in (1, 2, 3, 5, 8, 13):
+            D, I = index.search(qs[:nq], 4)
+            assert D.shape == (nq, 4) and I.shape == (nq, 4)
+            np.testing.assert_array_equal(I, I_all[:nq])
+            np.testing.assert_allclose(D, D_all[:nq], rtol=1e-6)
+
     def test_save_load_roundtrip(self, tmp_path, rng):
         c = rng.standard_normal((50, 8)).astype(np.float32)
         index = build_index(c, metric="cos")
