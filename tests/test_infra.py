@@ -308,6 +308,111 @@ class TestNanRecovery:
         assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+class TestSanitizers:
+    """utils.sanitize: the SURVEY §5 replacements for the reference's
+    in-module assert storm (model/model.py:223-247 NaN asserts,
+    pretrain_filtered_amazon.py:344 detect_anomaly)."""
+
+    def test_train_step_clean_under_debug_nans(self, gen, tokenizer):
+        """The real pretrain step produces no NaNs with NaN trapping on."""
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_train_step,
+        )
+        from sessionsimilaritysearch_tpu.utils.sanitize import debug_nans
+
+        cfg = tiny_test_config()
+        data = gen.dataset(4)
+        batch = jax.tree.map(
+            jnp.asarray,
+            batch_graphs([
+                sequence_to_graph(i, *d, tokenizer, cfg.dims)
+                for i, d in enumerate(data)
+            ]),
+        )
+        rng = jax.random.PRNGKey(0)
+        model, state = create_pretrain_state(cfg, rng, batch)
+        step = make_train_step(model, has_view=False)
+        with debug_nans():
+            state, m = step(state, batch, rng)
+            jax.block_until_ready(m["loss"])
+        assert np.isfinite(float(m["loss"]))
+
+    def test_debug_nans_traps(self):
+        from sessionsimilaritysearch_tpu.utils.sanitize import debug_nans
+
+        @jax.jit
+        def bad(x):
+            return jnp.log(x)  # log(0) = -inf... log(-1) = nan
+
+        with debug_nans():
+            with pytest.raises(FloatingPointError):
+                jax.block_until_ready(bad(jnp.asarray(-1.0)))
+        # outside the scope the config is restored: no raise
+        assert np.isnan(np.asarray(bad(jnp.asarray(-1.0))))
+
+    def test_assert_pure_passes_and_catches(self):
+        from sessionsimilaritysearch_tpu.utils.sanitize import assert_pure
+
+        @jax.jit
+        def pure(x):
+            return x * 2.0 + 1.0
+
+        assert_pure(pure, jnp.arange(4.0))
+
+        counter = {"n": 0}
+
+        def impure(x):
+            counter["n"] += 1
+            return np.asarray(x) * counter["n"]
+
+        with pytest.raises(AssertionError):
+            assert_pure(impure, jnp.arange(4.0))
+
+    def test_train_step_is_pure(self, gen, tokenizer):
+        """Two identical train-step calls produce bit-identical states --
+        the functional-path race/impurity check."""
+        from sessionsimilaritysearch_tpu.data.graph import batch_graphs
+        from sessionsimilaritysearch_tpu.training.pretrain import (
+            create_pretrain_state,
+            make_train_step,
+        )
+        from sessionsimilaritysearch_tpu.utils.sanitize import assert_pure
+
+        cfg = tiny_test_config()
+        data = gen.dataset(4)
+        batch = jax.tree.map(
+            jnp.asarray,
+            batch_graphs([
+                sequence_to_graph(i, *d, tokenizer, cfg.dims)
+                for i, d in enumerate(data)
+            ]),
+        )
+        rng = jax.random.PRNGKey(0)
+        model, state = create_pretrain_state(cfg, rng, batch)
+        step = make_train_step(model, has_view=False)
+        assert_pure(lambda: step(state, batch, rng)[1]["loss"])
+
+    def test_assert_donates(self):
+        from sessionsimilaritysearch_tpu.index.dense import _write_rows
+        from sessionsimilaritysearch_tpu.utils.sanitize import (
+            assert_donates,
+        )
+
+        buf = jnp.zeros((16, 4))
+        rows = jnp.ones((2, 4))
+        out = assert_donates(_write_rows, buf, rows, jnp.asarray(0, jnp.int32))
+        assert np.asarray(out)[0, 0] == 1.0
+
+        @jax.jit  # no donate_argnums: donation is "silently ignored"
+        def no_donate(b, r):
+            return b + 0.0
+
+        with pytest.raises(AssertionError):
+            assert_donates(no_donate, jnp.zeros((8, 4)), rows)
+
+
 class TestYoochooseFormat:
     def test_item_sequences_roundtrip(self):
         from sessionsimilaritysearch_tpu.data import schema
