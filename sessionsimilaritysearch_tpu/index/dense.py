@@ -63,7 +63,11 @@ class DenseIndex:
         quantize: Optional[str] = None,
     ):
         assert metric in ("cos", "ip", "l2")
-        assert quantize in (None, "int8")
+        # 'int8': corpus int8, queries bf16 (capacity: half the HBM of
+        # bf16, speed-neutral). 'int8x8': BOTH sides int8 so the scan runs
+        # int8 x int8 -> int32 on the MXU's double-rate int path; queries
+        # are quantized per-row at search time and scores dequantized.
+        assert quantize in (None, "int8", "int8x8")
         assert quantize is None or metric != "l2", (
             "int8 corpus supports 'ip'/'cos' only"
         )
@@ -130,6 +134,11 @@ class DenseIndex:
             queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self.metric == "cos":
             queries = topk_ops.l2_normalize(queries).astype(qdtype)
+        query_scales = None
+        if self.quantize == "int8x8":
+            queries, query_scales = _quantize_rows_int8(
+                queries.astype(jnp.float32)
+            )
         metric = "ip" if self.metric == "cos" else self.metric
         vals, idx = topk_ops.chunked_topk(
             queries,
@@ -141,6 +150,7 @@ class DenseIndex:
             mode=self.mode,
             score_dtype=self.score_dtype,
             corpus_scales=self._scales,
+            query_scales=query_scales,
         )
         vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
         if self.metric == "l2":
@@ -189,7 +199,12 @@ class DenseIndex:
         return idx
 
 
-def build_index(emb, metric: str = "cos", chunk_size: int = 65536) -> DenseIndex:
+def build_index(
+    emb,
+    metric: str = "cos",
+    chunk_size: int = 65536,
+    quantize: Optional[str] = None,
+) -> DenseIndex:
     """One-shot construction from a full corpus
     (reference: test_amazon_filterd.py:207-223)."""
     emb = np.asarray(emb)
@@ -198,6 +213,7 @@ def build_index(emb, metric: str = "cos", chunk_size: int = 65536) -> DenseIndex
         capacity=emb.shape[0],
         metric=metric,
         chunk_size=chunk_size,
+        quantize=quantize,
     )
     index.add(emb)
     return index

@@ -129,6 +129,7 @@ def chunked_topk(
     recall_target: float = 0.95,
     score_dtype=jnp.float32,
     corpus_scales: Optional[jnp.ndarray] = None,
+    query_scales: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k over corpus chunks.
 
@@ -159,6 +160,11 @@ def chunked_topk(
         int8-quantized corpus (DenseIndex(quantize='int8')): the corpus
         holds ``round(row / scale)`` int8 codes and true scores are
         recovered as ``(q . code) * scale``. 'ip'/'cos' only.
+      query_scales: optional [q] per-query dequantization scales; with
+        BOTH sides int8 (DenseIndex(quantize='int8x8')) the matmul runs
+        int8 x int8 -> int32 on the MXU (2x the bf16 MXU rate on v5e)
+        and scores dequantize as ``(qcode . ccode) * qscale * cscale``.
+        Requires corpus_scales; 'ip'/'cos' only.
 
     Returns:
       (values [q, k], indices [q, k]) sorted descending by score. Invalid
@@ -194,6 +200,10 @@ def chunked_topk(
     if corpus_scales is not None:
         assert metric != "l2", "quantized corpus supports 'ip'/'cos' only"
         scale_chunks = corpus_scales.reshape(n_chunks, chunk_size)
+    if query_scales is not None:
+        assert corpus_scales is not None, (
+            "query_scales (int8 x int8 mode) requires corpus_scales"
+        )
 
     kk = min(k, chunk_size)
     use_bucketed = (
@@ -220,13 +230,26 @@ def chunked_topk(
             qc = jnp.dot(queries, chunk.T, preferred_element_type=score_dtype)
             scores = (2.0 * qc - qq - cc[None, :]).astype(score_dtype)
         else:
-            if not jnp.issubdtype(chunk.dtype, jnp.floating):
-                chunk = chunk.astype(queries.dtype)  # int8 codes -> compute
-            scores = jnp.dot(queries, chunk.T, preferred_element_type=score_dtype)
-            if corpus_scales is not None:
-                scores = (
-                    scores.astype(jnp.float32) * scales[None, :]
-                ).astype(score_dtype)
+            both_int8 = (
+                queries.dtype == jnp.int8 and chunk.dtype == jnp.int8
+            )
+            if both_int8:
+                # int8 x int8 -> int32 on the MXU; dequantize afterwards
+                qc = jnp.dot(
+                    queries, chunk.T, preferred_element_type=jnp.int32
+                )
+                deq = query_scales[:, None] * scales[None, :]
+                scores = (qc.astype(jnp.float32) * deq).astype(score_dtype)
+            else:
+                if not jnp.issubdtype(chunk.dtype, jnp.floating):
+                    chunk = chunk.astype(queries.dtype)  # int8 -> compute
+                scores = jnp.dot(
+                    queries, chunk.T, preferred_element_type=score_dtype
+                )
+                if corpus_scales is not None:
+                    scores = (
+                        scores.astype(jnp.float32) * scales[None, :]
+                    ).astype(score_dtype)
         gidx = base + col  # [1, chunk]
         valid = gidx < valid_count
         scores = jnp.where(valid, scores, -jnp.inf)

@@ -151,6 +151,24 @@ class TestDenseIndex:
         with pytest.raises(ValueError):
             index.add(rng.standard_normal((11, 8)).astype(np.float32))
 
+    def test_int8x8_search_quality(self, data):
+        """quantize='int8x8' (int8 x int8 -> int32 MXU scan): retrieved
+        rows' TRUE scores reach the oracle's within the combined two-sided
+        quantization tolerance."""
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        q, c = data
+        index = build_index(c, metric="cos", quantize="int8x8")
+        D, I = index.search(q, 10)
+        assert D.shape == (17, 10) and I.min() >= 0
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        vr = value_recall_at_k(I, qn, cn, 10, rel_tol=4 / 127)
+        assert vr == 1.0, vr
+        # returned D is the dequantized true-scale score, not raw int32
+        true = np.take_along_axis(qn @ cn.T, I, axis=1)
+        np.testing.assert_allclose(D, true, atol=0.05)
+
     def test_query_batch_padding_transparent(self, rng):
         """search() buckets query batches to powers of two internally
         (bounded retraces for variable-batch serving); every batch size
