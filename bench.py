@@ -136,6 +136,43 @@ def main():
     b_dt = (time.perf_counter() - t0) / iters
     binary_qps = Q / b_dt
 
+    # --- int8 x int8 scan (DenseIndex(quantize='int8x8')): both sides
+    # quantized per-row to int8 so the matmul runs the MXU's double-rate
+    # int8 path (int8 x int8 -> int32) and the corpus is HALF the HBM of
+    # bf16. Retrieval quality is gated the same way as bf16 but at the
+    # two-sided quantization tolerance (4/127); measured +26% over the
+    # exact bf16 scan at this shape (docs/RESULTS.md shootout).
+    from sessionsimilaritysearch_tpu.index.dense import _quantize_rows_int8
+
+    c8, c_scales = _quantize_rows_int8(corpus.astype(jnp.float32))
+    q8, q_scales = _quantize_rows_int8(queries.astype(jnp.float32))
+    jax.block_until_ready((c8, c_scales, q8, q_scales))
+    d8, i8 = chunked_topk(
+        q8[:oracle_q], c8[:oracle_n], 10, chunk_size=oracle_n,
+        corpus_scales=c_scales[:oracle_n], query_scales=q_scales[:oracle_q],
+        score_dtype=jnp.bfloat16,
+    )
+    int8_recall10 = value_recall_at_k(
+        np.asarray(i8), subq, sub, 10, rel_tol=4 / 127
+    )
+
+    def search_int8(q):
+        return chunked_topk(q, c8, K, chunk_size=chunk, mode="exact",
+                            bucket=128, score_dtype=jnp.bfloat16,
+                            corpus_scales=c_scales, query_scales=q_scales)
+
+    qi = q8
+    for _ in range(3):
+        iv, _ = search_int8(qi)
+        qi = qi + (iv[:, :1] > 1e30).astype(qi.dtype)  # data dep; adds 0
+    np.asarray(iv)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        iv, _ = search_int8(qi)
+        qi = qi + (iv[:, :1] > 1e30).astype(qi.dtype)
+    np.asarray(iv)
+    int8_qps = Q / ((time.perf_counter() - t0) / iters)
+
     result = {
         "metric": f"exact_top{K}_qps_per_chip_{N>>20}M_x{D}d"
         + ("_bf16score" if score_dtype == jnp.bfloat16 else "")
@@ -144,6 +181,8 @@ def main():
         "unit": "queries/sec",
         "vs_baseline": round(qps / 10_000, 3),
         f"binary_sign_qps_{bits}b": round(binary_qps, 1),
+        "int8x8_qps": round(int8_qps, 1),
+        "int8x8_value_recall10": round(int8_recall10, 4),
     }
     print(json.dumps(result))
     print(
