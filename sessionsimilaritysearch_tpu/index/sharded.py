@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from sessionsimilaritysearch_tpu.index.dense import _quantize_rows_int8
 from sessionsimilaritysearch_tpu.ops import topk as topk_ops
 from sessionsimilaritysearch_tpu.parallel.collectives import sharded_topk
 
@@ -40,8 +41,16 @@ class ShardedDenseIndex:
         dtype=jnp.float32,
         chunk_size: int = 262144,
         mode: str = "exact",
+        quantize: Optional[str] = None,
+        score_dtype=jnp.float32,
     ):
         assert metric in ("cos", "ip")
+        # same modes as DenseIndex: 'int8' stores int8 codes + per-row
+        # scales on each shard (half/quarter the HBM -> 2-4x rows/chip);
+        # 'int8x8' additionally quantizes queries at search time so every
+        # shard's scan runs int8 x int8 -> int32 on its MXU (+26% QPS
+        # measured single-chip, docs/RESULTS.md).
+        assert quantize in (None, "int8", "int8x8")
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
@@ -50,7 +59,9 @@ class ShardedDenseIndex:
         self.capacity = capacity
         self.shard_rows = capacity // self.ndev
         self.metric = metric
-        self.dtype = jnp.dtype(dtype)
+        self.quantize = quantize
+        self.dtype = jnp.dtype(jnp.int8 if quantize else dtype)
+        self.score_dtype = score_dtype
         self.chunk_size = chunk_size
         self.mode = mode
         sh = NamedSharding(mesh, P(axis, None))
@@ -61,25 +72,38 @@ class ShardedDenseIndex:
         self._ids = jax.device_put(
             jnp.full((capacity,), -1, dtype=jnp.int32), sh1
         )
+        self._scales = (
+            jax.device_put(jnp.zeros((capacity,), jnp.float32), sh1)
+            if quantize else None
+        )
         self.size = 0  # total rows (== ndev * per-shard fill)
         self._write_fn = self._make_write_fn()
 
     def _make_write_fn(self):
         axis = self.axis
+        quantized = self.quantize is not None
 
-        def write(buf, ids, rows, row_ids, start):
+        def write(buf, ids, rows, row_ids, start, *scale_args):
             new_buf = jax.lax.dynamic_update_slice(buf, rows, (start[0], 0))
             new_ids = jax.lax.dynamic_update_slice(ids, row_ids, (start[0],))
+            if quantized:
+                scales_buf, scales = scale_args
+                new_scales = jax.lax.dynamic_update_slice(
+                    scales_buf, scales, (start[0],)
+                )
+                return new_buf, new_ids, new_scales
             return new_buf, new_ids
 
+        base = (P(axis, None), P(axis), P(axis, None), P(axis), P(axis))
+        extra = (P(axis), P(axis)) if quantized else ()
         return jax.jit(
             jax.shard_map(
                 write,
                 mesh=self.mesh,
-                in_specs=(P(axis, None), P(axis), P(axis, None), P(axis), P(axis)),
-                out_specs=(P(axis, None), P(axis)),
+                in_specs=base + extra,
+                out_specs=(P(axis, None), P(axis)) + ((P(axis),) if quantized else ()),
             ),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 5) if quantized else (0, 1),
         )
 
     @property
@@ -89,7 +113,7 @@ class ShardedDenseIndex:
     def add(self, emb) -> None:
         """Append [m, d]; m must be divisible by the mesh axis size (pad on
         the host if needed). Rows keep global insertion-order ids."""
-        emb = jnp.asarray(emb, self.dtype)
+        emb = jnp.asarray(emb, jnp.float32 if self.quantize else self.dtype)
         m = emb.shape[0]
         assert m % self.ndev == 0, (
             f"insert batch {m} not divisible by {self.ndev} shards"
@@ -99,7 +123,12 @@ class ShardedDenseIndex:
         if local_fill + per > self.shard_rows:
             raise ValueError("sharded index full")
         if self.metric == "cos":
-            emb = topk_ops.l2_normalize(emb).astype(self.dtype)
+            emb = topk_ops.l2_normalize(emb)
+        scales = None
+        if self.quantize:
+            emb, scales = _quantize_rows_int8(emb)
+        else:
+            emb = emb.astype(self.dtype)
         # row i of the batch -> shard i // per, preserving global id order
         ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
         sh = NamedSharding(self.mesh, P(self.axis, None))
@@ -109,13 +138,20 @@ class ShardedDenseIndex:
         start = jax.device_put(
             jnp.full((self.ndev,), local_fill, dtype=jnp.int32), sh1
         )
-        self._buf, self._ids = self._write_fn(
-            self._buf, self._ids, rows, row_ids, start
-        )
+        if self.quantize:
+            self._buf, self._ids, self._scales = self._write_fn(
+                self._buf, self._ids, rows, row_ids, start,
+                self._scales, jax.device_put(scales, sh1),
+            )
+        else:
+            self._buf, self._ids = self._write_fn(
+                self._buf, self._ids, rows, row_ids, start
+            )
         self.size += m
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        queries = jnp.asarray(queries, self.dtype)
+        qdtype = jnp.bfloat16 if self.quantize else self.dtype
+        queries = jnp.asarray(queries, qdtype)
         nq = queries.shape[0]
         # bucket query batches to powers of two (bounded retraces for
         # variable-batch serving; same policy as DenseIndex.search)
@@ -123,7 +159,12 @@ class ShardedDenseIndex:
         if q_pad != nq:
             queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self.metric == "cos":
-            queries = topk_ops.l2_normalize(queries).astype(self.dtype)
+            queries = topk_ops.l2_normalize(queries).astype(qdtype)
+        query_scales = None
+        if self.quantize == "int8x8":
+            queries, query_scales = _quantize_rows_int8(
+                queries.astype(jnp.float32)
+            )
         local_fill = self.size // self.ndev
         valid = jax.device_put(
             jnp.full((self.ndev,), local_fill, dtype=jnp.int32),
@@ -139,11 +180,18 @@ class ShardedDenseIndex:
             valid_per_shard=valid,
             chunk_size=self.chunk_size,
             mode=self.mode,
+            corpus_scales=self._scales,
+            query_scales=query_scales,
+            score_dtype=self.score_dtype,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 
     # --- persistence: the sharded corpus IS the index (SURVEY.md §5 plan)
     def save(self, path: str) -> None:
+        extra = {}
+        if self.quantize:
+            extra["scales"] = np.asarray(self._scales)
+            extra["quantize"] = self.quantize
         np.savez(
             path,
             buf=np.asarray(self._buf),
@@ -153,14 +201,16 @@ class ShardedDenseIndex:
             capacity=self.capacity,
             metric=self.metric,
             ndev=self.ndev,
+            **extra,
         )
 
     @classmethod
     def load(cls, path: str, mesh: Mesh, **kw) -> "ShardedDenseIndex":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
+        quantize = str(z["quantize"]) if "quantize" in z else None
         idx = cls(
             dim=int(z["dim"]), capacity=int(z["capacity"]), mesh=mesh,
-            metric=str(z["metric"]), **kw,
+            metric=str(z["metric"]), quantize=quantize, **kw,
         )
         saved_ndev = int(z.get("ndev", idx.ndev))
         size = int(z["size"])
@@ -181,6 +231,7 @@ class ShardedDenseIndex:
             flat_ids = ids[:, :per_old].reshape(size)
             order = np.argsort(flat_ids)  # restore insertion order
             # skip normalization: rows were normalized at original add
+            # (and, in int8 mode, quantized -- codes round-trip bit-exactly)
             rows = jax.device_put(
                 jnp.asarray(flat_buf[order], idx.dtype),
                 NamedSharding(mesh, P(idx.axis, None)),
@@ -193,14 +244,33 @@ class ShardedDenseIndex:
                 jnp.zeros((idx.ndev,), jnp.int32),
                 NamedSharding(mesh, P(idx.axis)),
             )
-            idx._buf, idx._ids = idx._write_fn(
-                idx._buf, idx._ids, rows, row_ids, start
-            )
+            if quantize:
+                flat_scales = (
+                    np.asarray(z["scales"])
+                    .reshape(saved_ndev, old_rows)[:, :per_old]
+                    .reshape(size)[order]
+                )
+                scales = jax.device_put(
+                    jnp.asarray(flat_scales, jnp.float32),
+                    NamedSharding(mesh, P(idx.axis)),
+                )
+                idx._buf, idx._ids, idx._scales = idx._write_fn(
+                    idx._buf, idx._ids, rows, row_ids, start,
+                    idx._scales, scales,
+                )
+            else:
+                idx._buf, idx._ids = idx._write_fn(
+                    idx._buf, idx._ids, rows, row_ids, start
+                )
             idx.size = size
             return idx
         sh = NamedSharding(mesh, P(idx.axis, None))
         sh1 = NamedSharding(mesh, P(idx.axis))
         idx._buf = jax.device_put(jnp.asarray(z["buf"]), sh)
         idx._ids = jax.device_put(jnp.asarray(z["ids"]), sh1)
+        if quantize:
+            idx._scales = jax.device_put(
+                jnp.asarray(z["scales"], jnp.float32), sh1
+            )
         idx.size = size
         return idx

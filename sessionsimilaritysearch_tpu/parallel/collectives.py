@@ -30,6 +30,9 @@ def sharded_topk(
     chunk_size: int = 262144,
     mode: str = "exact",
     bucket: int = 128,
+    corpus_scales: Optional[jnp.ndarray] = None,
+    query_scales: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a row-sharded corpus.
 
@@ -41,6 +44,10 @@ def sharded_topk(
         defaults to the row's global position.
       valid_per_shard: optional scalar count of valid rows per shard (ring
         buffers); defaults to the full shard.
+      corpus_scales: optional [n] per-row int8 dequantization scales (same
+        sharding as the corpus rows); see ``ops.topk.chunked_topk``.
+      query_scales: optional [q] per-query int8 scales, replicated (the
+        int8 x int8 MXU mode; requires corpus_scales).
 
     Returns replicated (values [q, k], ids [q, k]).
     """
@@ -50,13 +57,20 @@ def sharded_topk(
     n = corpus.shape[0]
     assert n % ndev == 0, f"corpus rows {n} not divisible by mesh axis {ndev}"
     shard_rows = n // ndev
+    has_cs = corpus_scales is not None
+    has_qs = query_scales is not None
 
-    def local_search(q, c_local, ids_local, valid):
+    def local_search(q, c_local, ids_local, valid, *extra):
+        it = iter(extra)
+        cs = next(it) if has_cs else None
+        qs = next(it) if has_qs else None
         vals, idx = chunked_topk(
             q, c_local, k,
             chunk_size=min(chunk_size, shard_rows),
             valid_count=valid[0],
             mode=mode, bucket=bucket,
+            corpus_scales=cs, query_scales=qs,
+            score_dtype=score_dtype,
         )
         safe = jnp.clip(idx, 0, shard_rows - 1)
         gids = jnp.where(idx >= 0, ids_local[safe], -1)
@@ -74,16 +88,24 @@ def sharded_topk(
     if valid_per_shard is None:
         valid_per_shard = jnp.full((ndev,), shard_rows, dtype=jnp.int32)
 
+    extra_args, extra_specs = [], []
+    if has_cs:
+        extra_args.append(corpus_scales)
+        extra_specs.append(P(axis))
+    if has_qs:
+        extra_args.append(query_scales)
+        extra_specs.append(P())
+
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
         out_specs=(P(), P()),
         # the scan carry inside chunked_topk starts replicated and becomes
         # shard-varying after the first chunk; skip the static VMA check
         check_vma=False,
     )
-    return fn(queries, corpus, shard_ids, valid_per_shard)
+    return fn(queries, corpus, shard_ids, valid_per_shard, *extra_args)
 
 
 def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):

@@ -225,3 +225,62 @@ class TestTenMillionRowDryrun:
         chunk = 262144
         score_buf = 1024 * chunk * 2 / 1e9
         assert score_buf < 1.0  # < 1 GB
+
+
+class TestShardedQuantized:
+    """int8 / int8x8 sharded modes (the single-chip DenseIndex quantize
+    modes, striped): capacity doubles per chip and the int8x8 search runs
+    each shard's scan on the MXU int path (docs/RESULTS.md)."""
+
+    @pytest.mark.parametrize("quantize", ["int8", "int8x8"])
+    def test_quantized_matches_oracle(self, mesh, rng, quantize):
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        corpus = rng.standard_normal((1024, 32)).astype(np.float32)
+        queries = rng.standard_normal((16, 32)).astype(np.float32)
+        index = ShardedDenseIndex(dim=32, capacity=1024, mesh=mesh,
+                                  metric="cos", chunk_size=64,
+                                  quantize=quantize)
+        index.add(corpus)
+        D, I = index.search(queries, 10)
+        assert I.min() >= 0
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        tol = (4 if quantize == "int8x8" else 2) / 127
+        vr = value_recall_at_k(I, qn, cn, 10, rel_tol=tol)
+        assert vr == 1.0, (quantize, vr)
+        # D is the dequantized true-scale cosine, not a raw int32 count
+        true = np.take_along_axis(qn @ cn.T, I, axis=1)
+        np.testing.assert_allclose(D, true, atol=0.05)
+
+    def test_quantized_streaming_insert(self, mesh, rng):
+        index = ShardedDenseIndex(dim=16, capacity=256, mesh=mesh,
+                                  metric="cos", chunk_size=32,
+                                  quantize="int8")
+        a = rng.standard_normal((64, 16)).astype(np.float32)
+        b = rng.standard_normal((64, 16)).astype(np.float32)
+        index.add(a)
+        index.add(b)
+        assert index.ntotal == 128
+        # self-retrieval of a second-batch row returns its GLOBAL id
+        D, I = index.search(b[:4], 1)
+        np.testing.assert_array_equal(I[:, 0], [64, 65, 66, 67])
+
+    def test_quantized_save_load_restripe(self, mesh, rng, tmp_path):
+        """Scales restripe with their rows across a shard-count change."""
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        mesh4 = create_mesh(shape=(4,), devices=jax.devices()[:4])
+        idx4 = ShardedDenseIndex(dim=8, capacity=64, mesh=mesh4,
+                                 metric="cos", chunk_size=16,
+                                 quantize="int8x8")
+        rows = rng.standard_normal((32, 8)).astype(np.float32)
+        idx4.add(rows)
+        p = str(tmp_path / "q.npz")
+        idx4.save(p)
+        idx8 = ShardedDenseIndex.load(p, mesh, chunk_size=16)
+        assert idx8.quantize == "int8x8" and idx8.size == 32
+        D4, I4 = idx4.search(rows[:5], 3)
+        D8, I8 = idx8.search(rows[:5], 3)
+        np.testing.assert_array_equal(I4, I8)
+        np.testing.assert_allclose(D4, D8, rtol=1e-5)
