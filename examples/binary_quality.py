@@ -1,0 +1,176 @@
+"""Trained binary-code quality: dense cosine vs 250-bit Hamming serving on
+the SAME encoder embeddings (the quality half of VERDICT r1 item 3).
+
+The reference's hashing serve path (fine_tune_ours.py:748-897) fine-tunes
+BinarizeHeads over frozen session embeddings, packs sign codes, and serves
+with faiss.IndexBinaryFlat — reporting the ave similarity of the Hamming
+top-k next to the dense top-k. This reproduces that comparison end-to-end
+here: train an encoder, fine-tune 250-bit hash heads (alternating towers,
+triplet + pair losses, training/finetune.py), then retrieve the same query
+set three ways — dense cosine, UNTRAINED codes, TRAINED codes — and report
+``ave_all_product_type_score``@k for each plus Hamming QPS.
+
+Run (TPU): python examples/binary_quality.py
+Smoke:     python examples/binary_quality.py --platform cpu --corpus 800 \
+               --train 300 --queries 40 --epochs 2 --ft-epochs 2 --bits 32
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sessionsimilaritysearch_tpu.config import tiny_test_config
+from sessionsimilaritysearch_tpu.data import SyntheticSessionGenerator
+from sessionsimilaritysearch_tpu.data.augment import random_exchange_order
+from sessionsimilaritysearch_tpu.data.loader import (
+    ContrastiveViewLoader,
+    SessionGraphLoader,
+)
+from sessionsimilaritysearch_tpu.data.similarity import get_ave_score, mine_triplets
+from sessionsimilaritysearch_tpu.evalharness.harness import (
+    EmbeddingPipeline,
+    evaluate_binary,
+)
+from sessionsimilaritysearch_tpu.index import build_index
+from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+from sessionsimilaritysearch_tpu.training.finetune import (
+    build_triplet_batches,
+    create_finetune_state,
+    make_code_fns,
+    make_finetune_step,
+)
+from sessionsimilaritysearch_tpu.training.pretrain import (
+    PretrainModel,
+    make_encode_fn,
+    make_train_step,
+)
+from sessionsimilaritysearch_tpu.training.train_state import (
+    adam_with_clip,
+    create_train_state,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", type=int, default=20_000)
+    ap.add_argument("--train", type=int, default=3000)
+    ap.add_argument("--queries", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--ft-epochs", type=int, default=20)
+    ap.add_argument("--bits", type=int, default=250)
+    ap.add_argument("--triplets", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--types", type=int, default=25)
+    ap.add_argument("--asins", type=int, default=8000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = tiny_test_config(
+        asin_num=args.asins, gnn_nout=64, gnn_nhid=64, emb_len=48,
+        text_encoder_dim=64, batch_size=64, ctv_w=0.5, code_len=args.bits,
+    )
+    gen = SyntheticSessionGenerator(asin_num=args.asins, n_types=args.types,
+                                   seed=args.seed)
+    corpus_data = gen.dataset(args.corpus)
+    test_data = gen.dataset(args.queries)
+    mine_data = gen.dataset(args.triplets * 2)
+    corpus_sessions = [d[0] for d in corpus_data]
+    tok = get_tokenizer(cfg.vocab_size)
+
+    # --- 1. train the session encoder (contrastive pretrain objective)
+    base = SessionGraphLoader(corpus_data[: args.train], tok, cfg.dims,
+                              cfg.batch_size, seed=args.seed, prefetch=4)
+    loader = ContrastiveViewLoader(base, random_exchange_order,
+                                   seed=args.seed + 1)
+    rng = jax.random.PRNGKey(args.seed)
+    b0, _ = next(iter(loader))
+    sample = jax.tree.map(jnp.asarray, b0)
+    model = PretrainModel(cfg)
+    state = create_train_state(
+        model, rng, (sample, rng), adam_with_clip(cfg.lr),
+        init_kwargs={"view_graph": sample, "deterministic": True},
+    )
+    step = make_train_step(model, has_view=True)
+    encode = make_encode_fn(model)
+    t0 = time.time()
+    for _ in range(args.epochs):
+        for b, v in loader:
+            rng, sub = jax.random.split(rng)
+            state, _ = step(state, jax.tree.map(jnp.asarray, b), sub,
+                            jax.tree.map(jnp.asarray, v))
+    print(f"encoder trained: {args.epochs} epochs, {time.time()-t0:.0f}s")
+
+    pipe = EmbeddingPipeline(cfg, tok, lambda g: encode(state, g),
+                             cfg.batch_size)
+    ce = pipe([(s, []) for s in corpus_sessions])
+    qe = pipe(test_data)
+
+    # --- 2. dense cosine baseline on the same embeddings
+    idx = build_index(ce, metric="cos")
+    _, I = idx.search(qe, args.k)
+    dense_score = get_ave_score(I, test_data, corpus_sessions,
+                                "all_product_type_score")
+
+    # --- 3. fine-tune 250-bit hash heads over the frozen embeddings
+    triplets = mine_triplets(mine_data, corpus_data[:2000],
+                             "all_product_type_score", args.triplets,
+                             pos_thresh=0.6, half_lo=0.1)
+    print(f"mined {len(triplets)} triplets")
+    ft_model, ft_state, tx = create_finetune_state(
+        cfg, jax.random.PRNGKey(args.seed + 7), emb_dim=ce.shape[1],
+        shared_init=True,  # start at LSH quality, train upward
+    )
+    db_fn, q_fn = make_code_fns(ft_model)
+    code_db0 = np.asarray(db_fn(ft_state, jnp.asarray(ce)))
+    code_q0 = np.asarray(q_fn(ft_state, jnp.asarray(qe)))
+
+    step_fn = make_finetune_step(ft_model, tx, cfg)
+    batches = build_triplet_batches(
+        triplets, pipe, [(q[0], q[0]) for q in mine_data[:64]],
+        min(32, max(4, len(triplets) // 4)), np.random.default_rng(args.seed),
+    )
+    t0 = time.time()
+    m = {}
+    for _ in range(args.ft_epochs):
+        for b in batches():
+            ft_state, m = step_fn(ft_state, b)
+    print(f"hash heads trained: {args.ft_epochs} epochs, {time.time()-t0:.0f}s"
+          f" (loss {float(m.get('loss', float('nan'))):.4f})")
+
+    # --- 4. Hamming serving: untrained vs trained codes
+    from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes
+
+    lsh_db = simhash_codes(ce, args.bits, seed=args.seed)
+    lsh_q = simhash_codes(qe, args.bits, seed=args.seed)
+    rows = [("dense cosine", dense_score, None)]
+    for tag, db_c, q_c in (
+        ("binary untrained", code_db0, code_q0),
+        ("binary LSH (simhash)", lsh_db, lsh_q),
+        ("binary trained",
+         np.asarray(db_fn(ft_state, jnp.asarray(ce))),
+         np.asarray(q_fn(ft_state, jnp.asarray(qe)))),
+    ):
+        res = evaluate_binary(db_c, q_c, corpus_sessions, test_data,
+                              k=args.k, mode="sign")
+        rows.append((tag, res.report["ave_all_product_type_score"],
+                     res.qps))
+    print(f"\n=== ave type score@{args.k}, {args.corpus} corpus, "
+          f"{args.bits}-bit codes ===")
+    for tag, s, qps in rows:
+        extra = f"  ({qps:,.0f} qps host-measured)" if qps else ""
+        keep = f"  [{100*s/dense_score:.1f}% of dense]" if tag != rows[0][0] else ""
+        print(f"{tag:>22}: {s:.4f}{keep}{extra}")
+
+
+if __name__ == "__main__":
+    main()

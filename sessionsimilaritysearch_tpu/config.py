@@ -104,6 +104,12 @@ class Config:
 
     # --- fine-tune (reference: config.py:58-63)
     fine_tune_data_num: int = 10_000
+    # Separate lr for the hash-head fine-tune (0.0 = fall back to ``lr``).
+    # The reference shares CFG.lr=3e-4 across phases; at that rate the tiny
+    # two-tower heads overshoot on small triplet sets (measured: retrieval
+    # quality DROPS below the tied-init/simhash starting point), while
+    # 10x lower trains past it (examples/binary_quality.py).
+    ft_lr: float = 3e-5
     loss_type: str = "MSE"      # 'MSE' | 'L1'
     sim_type: str = "all_product_type_score"
     fine_tune_epoch: int = 70

@@ -145,6 +145,25 @@ def sign_topk(
     return dist, idx
 
 
+def simhash_codes(emb, n_bits: int, seed: int = 0) -> np.ndarray:
+    """Training-free cosine LSH (SimHash): ``sign(emb @ R)`` with ONE
+    shared Gaussian projection R [d, n_bits] for both query and db sides,
+    so expected Hamming distance is proportional to the angle between
+    embeddings (Charikar'02). The zero-setup binary serving mode: feeds
+    ``BinaryIndex``/``evaluate_binary`` directly and retains most of the
+    dense cosine ranking at 250 bits (examples/binary_quality.py), where
+    the reference's serve path requires a fine-tuned BinarizeHead
+    (fine_tune_ours.py:839-879) before binary search is usable at all.
+
+    Returns [n, n_bits] float32 in {+1, -1} (zero dots break ties as +1).
+    """
+    emb = np.asarray(emb, np.float32)
+    R = np.random.default_rng(seed).standard_normal(
+        (emb.shape[1], n_bits)
+    ).astype(np.float32)
+    return np.where(emb @ R >= 0, 1.0, -1.0).astype(np.float32)
+
+
 def oracle_hamming_np(q_signs, c_signs, k):
     """Numpy Hamming oracle over +-1 sign arrays."""
     qb = (np.asarray(q_signs) > 0).astype(np.int32)

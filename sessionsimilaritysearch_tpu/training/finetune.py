@@ -180,7 +180,15 @@ def _side_mask(params, side: str):
     )
 
 
-def create_finetune_state(cfg: Config, rng, emb_dim: Optional[int] = None):
+def create_finetune_state(cfg: Config, rng, emb_dim: Optional[int] = None,
+                          shared_init: bool = False):
+    """``shared_init=True`` copies the query tower's init into the db tower
+    so both sides start as the SAME random projection — i.e. the hash starts
+    at simhash/cosine-LSH quality (``ops.hamming.simhash_codes``) and the
+    alternating fine-tune improves from there instead of first having to
+    re-align two unrelated projections. The reference inits its towers
+    independently (fine_tune_ours.py:279-294), which is why its serve path
+    is unusable before fine-tuning; default False for parity."""
     emb_dim = emb_dim or cfg.session_emb_dim
     model = FinetuneHeads(code_len=cfg.code_len, emb_dim=emb_dim)
     dummy = TripletBatch(*([jnp.zeros((2, emb_dim))] * 4),
@@ -188,7 +196,10 @@ def create_finetune_state(cfg: Config, rng, emb_dim: Optional[int] = None):
                          jnp.zeros((2, emb_dim)), jnp.zeros((2, emb_dim)))
     params = model.init(rng, dummy, 0, cfg.loss_type, cfg.aux_w, cfg.bin_w,
                         cfg.rec_w)["params"]
-    tx = adam_with_clip(cfg.lr, cfg.grad_clip_norm)
+    if shared_init:
+        params = dict(params)
+        params["db_bin"] = jax.tree.map(lambda x: x, params["q_bin"])
+    tx = adam_with_clip(cfg.ft_lr or cfg.lr, cfg.grad_clip_norm)
     state = FinetuneState(
         params=params,
         opt_db=tx.init(params),

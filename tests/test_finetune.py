@@ -110,3 +110,36 @@ class TestFinetune:
         assert len(got) == 2
         assert got[0].ori.shape == (4, 24)
         assert got[0].aux.shape == (4, 24)
+
+
+class TestSharedInit:
+    def test_tied_towers_emit_identical_codes(self, rng):
+        """shared_init starts the hash at simhash quality: both towers are
+        the SAME projection until training diverges them."""
+        cfg = tiny_test_config(code_len=16)
+        model, state, tx = create_finetune_state(
+            cfg, jax.random.PRNGKey(1), emb_dim=12, shared_init=True
+        )
+        db_fn, q_fn = make_code_fns(model)
+        emb = jnp.asarray(rng.standard_normal((7, 12)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(db_fn(state, emb)), np.asarray(q_fn(state, emb))
+        )
+
+    def test_default_untied(self, rng):
+        cfg = tiny_test_config(code_len=16)
+        model, state, tx = create_finetune_state(
+            cfg, jax.random.PRNGKey(1), emb_dim=12
+        )
+        db_fn, q_fn = make_code_fns(model)
+        emb = jnp.asarray(rng.standard_normal((7, 12)), jnp.float32)
+        assert (
+            np.asarray(db_fn(state, emb)) != np.asarray(q_fn(state, emb))
+        ).any()
+
+    def test_ft_lr_used_for_head_training(self):
+        """Config.ft_lr (default 3e-5) drives the fine-tune optimizer; the
+        encoder lr (3e-4) overshoots the tiny heads (docs/RESULTS.md)."""
+        cfg = tiny_test_config()
+        assert cfg.ft_lr == pytest.approx(3e-5)
+        assert (cfg.ft_lr or cfg.lr) != cfg.lr

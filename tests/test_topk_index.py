@@ -421,3 +421,40 @@ class TestInt8Quantized:
     def test_l2_rejected(self):
         with pytest.raises(AssertionError):
             DenseIndex(dim=8, capacity=8, metric="l2", quantize="int8")
+
+
+class TestSimhash:
+    """Training-free cosine LSH codes (ops.hamming.simhash_codes)."""
+
+    def test_shared_projection_and_determinism(self, rng):
+        from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes
+
+        emb = rng.standard_normal((20, 32)).astype(np.float32)
+        a = simhash_codes(emb, 64, seed=3)
+        b = simhash_codes(emb, 64, seed=3)
+        np.testing.assert_array_equal(a, b)  # same seed -> same projection
+        assert set(np.unique(a)) <= {-1.0, 1.0}
+        assert a.shape == (20, 64)
+        # scaling an embedding never changes its code (angular hash)
+        np.testing.assert_array_equal(
+            simhash_codes(emb * 7.5, 64, seed=3), a
+        )
+
+    def test_hamming_ranking_tracks_cosine(self, rng):
+        """On well-separated clusters, 256-bit simhash Hamming top-1
+        recovers the cosine top-1 (the angular-estimate guarantee)."""
+        from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes
+
+        centers = rng.standard_normal((8, 48)).astype(np.float32) * 4
+        corpus = np.concatenate(
+            [c + 0.05 * rng.standard_normal((10, 48)) for c in centers]
+        ).astype(np.float32)
+        queries = (centers + 0.05 * rng.standard_normal((8, 48))).astype(
+            np.float32
+        )
+        cq = simhash_codes(queries, 256, seed=0)
+        cc = simhash_codes(corpus, 256, seed=0)
+        _, I = sign_topk(jnp.asarray(cq, jnp.bfloat16),
+                         jnp.asarray(cc, jnp.bfloat16), 1, n_bits=256)
+        got_cluster = np.asarray(I)[:, 0] // 10
+        np.testing.assert_array_equal(got_cluster, np.arange(8))
