@@ -62,6 +62,10 @@ class SessionSearchEngine:
       mesh: optional ``jax.sharding.Mesh`` -- shards the corpus row-wise and
         searches with the cross-shard collective.
       batch_size: encoder batch (static shape; short batches pad).
+      quantize: None | 'int8' | 'int8x8' -- int8-code corpus storage
+        (2-4x capacity/chip; 'int8x8' also runs the scan on the MXU int
+        path, +26% QPS measured). Same-tolerance retrieval quality gates
+        as the raw indexes (docs/RESULTS.md).
     """
 
     def __init__(
@@ -75,6 +79,7 @@ class SessionSearchEngine:
         mesh=None,
         batch_size: int = 256,
         mode: str = "exact",
+        quantize=None,
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -117,12 +122,12 @@ class SessionSearchEngine:
             capacity = -(-capacity // ndev) * ndev
             self.index = ShardedDenseIndex(
                 dim=dim, capacity=capacity, mesh=mesh, metric=metric,
-                mode=mode,
+                mode=mode, quantize=quantize,
             )
             self._pad_to = ndev
         else:
             self.index = DenseIndex(
-                dim=dim, capacity=capacity, metric=metric
+                dim=dim, capacity=capacity, metric=metric, quantize=quantize
             )
             self._pad_to = 1
 

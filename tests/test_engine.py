@@ -345,3 +345,42 @@ class TestVectorizedQueryPaths:
         assert dedup_s < 30 * unit_s, (
             f"dedup too slow: {dedup_s:.2f}s vs unit {unit_s:.3f}s"
         )
+
+
+class TestEngineQuantized:
+    @pytest.mark.parametrize("quantize", ["int8", "int8x8"])
+    def test_quantized_engine_self_retrieval(self, engine_parts, gen,
+                                             tokenizer, quantize):
+        """quantize= plumbs through to the index: self-retrieval survives
+        the int8 roundtrip (codes quantize the same embedding both sides)."""
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, quantize=quantize,
+        )
+        data = gen.dataset(16)
+        eng.add_sessions(data)
+        assert eng.index.quantize == quantize
+        D, I = eng.search(data[:5], k=3)
+        np.testing.assert_array_equal(I[:, 0], np.arange(5))
+
+    def test_quantized_snapshot_roundtrip(self, engine_parts, gen, tokenizer,
+                                          tmp_path):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8, quantize="int8",
+        )
+        data = gen.dataset(12)
+        eng.add_sessions(data)
+        D1, I1 = eng.search(data[:4], k=3)
+        eng.save(str(tmp_path / "snap"))
+        eng2 = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8, quantize="int8",
+        )
+        eng2.restore(str(tmp_path / "snap"))
+        assert eng2.index.quantize == "int8"
+        D2, I2 = eng2.search(data[:4], k=3)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-6)
