@@ -173,6 +173,36 @@ def main():
     np.asarray(iv)
     int8_qps = Q / ((time.perf_counter() - t0) / iters)
 
+    # --- fastest dense mode: int8x8 matmul + approx_max_k selection
+    # (PartialReduce). 68.9k QPS measured at this shape -- 2.7x the exact
+    # bf16 scan -- with value-recall@10 0.997 at the int8 tolerance.
+    d8a, i8a = chunked_topk(
+        q8[:oracle_q], c8[:oracle_n], 10, chunk_size=oracle_n,
+        mode="approx", recall_target=0.95,
+        corpus_scales=c_scales[:oracle_n], query_scales=q_scales[:oracle_q],
+        score_dtype=jnp.bfloat16,
+    )
+    int8_approx_recall10 = value_recall_at_k(
+        np.asarray(i8a), subq, sub, 10, rel_tol=4 / 127
+    )
+
+    def search_int8_approx(q):
+        return chunked_topk(q, c8, K, chunk_size=chunk, mode="approx",
+                            recall_target=0.95, score_dtype=jnp.bfloat16,
+                            corpus_scales=c_scales, query_scales=q_scales)
+
+    qi = q8
+    for _ in range(3):
+        iv, _ = search_int8_approx(qi)
+        qi = qi + (iv[:, :1] > 1e30).astype(qi.dtype)
+    np.asarray(iv)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        iv, _ = search_int8_approx(qi)
+        qi = qi + (iv[:, :1] > 1e30).astype(qi.dtype)
+    np.asarray(iv)
+    int8_approx_qps = Q / ((time.perf_counter() - t0) / iters)
+
     result = {
         "metric": f"exact_top{K}_qps_per_chip_{N>>20}M_x{D}d"
         + ("_bf16score" if score_dtype == jnp.bfloat16 else "")
@@ -183,6 +213,8 @@ def main():
         f"binary_sign_qps_{bits}b": round(binary_qps, 1),
         "int8x8_qps": round(int8_qps, 1),
         "int8x8_value_recall10": round(int8_recall10, 4),
+        "int8x8_approx_qps": round(int8_approx_qps, 1),
+        "int8x8_approx_value_recall10": round(int8_approx_recall10, 4),
     }
     print(json.dumps(result))
     print(
