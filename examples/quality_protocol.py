@@ -51,6 +51,27 @@ from sessionsimilaritysearch_tpu.training.train_state import (
 )
 
 
+def _keep(d, lo, hi):
+    """Session keeps only if every interacted product falls in [lo, hi)."""
+    items = [a[-1] for a in (list(d[0]) + list(d[1])) if a[1] != "s"]
+    return bool(items) and all(lo <= i < hi for i in items)
+
+
+def _disjoint_datasets(gen, n_corpus, n_queries, asins):
+    """Corpus sessions from catalog half [0, asins/2), query sessions from
+    [asins/2, asins) — zero item overlap (the out-of-catalog regime of
+    examples/generalization_benchmark.py), same type structure."""
+    half = asins // 2
+    corpus, queries = [], []
+    while len(corpus) < n_corpus or len(queries) < n_queries:
+        d = gen.datum()
+        if len(corpus) < n_corpus and _keep(d, 0, half):
+            corpus.append(d)
+        elif len(queries) < n_queries and _keep(d, half, asins):
+            queries.append(d)
+    return corpus, queries
+
+
 def run_seed(seed: int, args) -> dict:
     """One full independent trial: fresh catalog, data, and model init."""
     cfg = tiny_test_config(
@@ -61,8 +82,18 @@ def run_seed(seed: int, args) -> dict:
         asin_num=args.asins, n_types=args.types, seed=1000 + seed
     )
     t0 = time.time()
-    corpus_data = gen.dataset(args.corpus)
-    test_data = gen.dataset(args.queries)
+    if args.disjoint:
+        corpus_data, test_data = _disjoint_datasets(
+            gen, args.corpus, args.queries, args.asins
+        )
+        c_items = {a[-1] for d in corpus_data
+                   for a in list(d[0]) + list(d[1]) if a[1] != "s"}
+        q_items = {a[-1] for d in test_data
+                   for a in list(d[0]) + list(d[1]) if a[1] != "s"}
+        assert not (c_items & q_items), "catalog halves overlap"
+    else:
+        corpus_data = gen.dataset(args.corpus)
+        test_data = gen.dataset(args.queries)
     train_data = corpus_data[: args.train]
     corpus_sessions = [d[0] for d in corpus_data]
 
@@ -155,6 +186,10 @@ def main():
     ap.add_argument("--asins", type=int, default=8000)
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--out", default=None, help="write per-seed JSON here")
+    ap.add_argument("--disjoint", action="store_true",
+                    help="out-of-catalog: corpus/queries from disjoint "
+                         "catalog halves (use a smaller --corpus; sessions "
+                         "are rejection-sampled)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = ap.parse_args()
     if args.platform:
