@@ -37,14 +37,25 @@ class BinaryIndex:
         mode: str = "sign",
         use_pallas: Optional[bool] = None,
         interpret: bool = False,
+        selection: str = "exact",
+        recall_target: float = 0.95,
     ):
         """``use_pallas``: None = auto (packed mode on an accelerator),
         True/False = force. ``interpret`` runs the kernel in interpret mode
-        (CPU tests)."""
+        (CPU tests). ``selection='approx'`` (sign mode only) uses
+        ``lax.approx_max_k`` per chunk: 4.3x the exact sign scan on TPU
+        (168k QPS at 1M x 250 bits, tie-aware value-recall@100 0.9985 at
+        the default ``recall_target``; see ops.hamming.sign_topk)."""
         assert mode in ("packed", "sign")
+        assert selection in ("exact", "approx")
+        assert selection == "exact" or mode == "sign", (
+            "approx selection is wired for the sign-matmul path"
+        )
         self.n_bits = n_bits
         self.capacity = capacity
         self.mode = mode
+        self.selection = selection
+        self.recall_target = recall_target
         self.size = 0
         self.use_pallas = use_pallas
         self.interpret = interpret
@@ -134,6 +145,7 @@ class BinaryIndex:
         else:
             q = jnp.where(jnp.asarray(q_signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
             d, i = hamming.sign_topk(
-                q, self._buf[: self.size], k, n_bits=self.n_bits
+                q, self._buf[: self.size], k, n_bits=self.n_bits,
+                mode=self.selection, recall_target=self.recall_target,
             )
         return np.asarray(d), np.asarray(i)

@@ -104,25 +104,39 @@ def hamming_topk(
     return dist, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk_size", "n_bits"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "chunk_size", "n_bits", "mode", "recall_target"),
+)
 def sign_topk(
     q_signs: jnp.ndarray,
     c_signs: jnp.ndarray,
     k: int,
     n_bits: int,
     chunk_size: int = 1 << 20,
+    mode: str = "exact",
+    recall_target: float = 0.95,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact Hamming top-k via +-1 matmul on the MXU.
+    """Hamming top-k via +-1 matmul on the MXU.
 
     ``q_signs``/``c_signs`` are +-1 in bf16 (or f32), shape [*, n_bits].
-    Returns (hamming distances ascending, indices), identical ranking to
-    :func:`hamming_topk`.
+    Returns (hamming distances ascending, indices); with ``mode='exact'``
+    (default) the ranking is identical to :func:`hamming_topk`.
 
     Scores are +-1 dot products, i.e. integers with |dot| <= n_bits; bf16
     represents every integer of magnitude <= 256 exactly, so for codes up
     to 256 bits the bf16-scored scan is LOSSLESS and ~25% lighter on the
     score buffer than f32 (measured 25.3 ms vs 123.5 ms = 4.9x at
     1M x 250 bits on v5e). Wider codes fall back to f32 scores.
+
+    ``mode='approx'`` swaps the per-chunk selection for
+    ``lax.approx_max_k`` (TPU PartialReduce): at 250 bits the matmul is
+    ~3 ms and exact selection dominates, so approx selection is 4.3x
+    faster end-to-end — measured 168k QPS (6.1 ms/1024-query batch,
+    rt=0.95, tie-aware value-recall@100 0.9985) vs 38.8k exact at
+    1M x 250 on v5e; rt=0.99 gives 65.7k at 0.9999. Hamming scores are
+    small integers with heavy ties, so tie-aware recall is the right
+    quality measure (any returned code at the k-th distance is as good).
     """
     from sessionsimilaritysearch_tpu.ops.topk import chunked_topk
 
@@ -132,6 +146,8 @@ def sign_topk(
         k,
         chunk_size=chunk_size,
         metric="ip",
+        mode=mode,
+        recall_target=recall_target,
         score_dtype=jnp.bfloat16 if n_bits <= 256 else jnp.float32,
     )
     # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2. Missing slots

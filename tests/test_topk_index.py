@@ -458,3 +458,33 @@ class TestSimhash:
                          jnp.asarray(cc, jnp.bfloat16), 1, n_bits=256)
         got_cluster = np.asarray(I)[:, 0] // 10
         np.testing.assert_array_equal(got_cluster, np.arange(8))
+
+
+class TestSignApprox:
+    """sign_topk(mode='approx') wiring (lax.approx_max_k selection; on CPU
+    approx_max_k reduces to exact top-k, so this pins plumbing + ranking;
+    the TPU speed/recall numbers live in docs/RESULTS.md)."""
+
+    def test_binary_index_approx_selection(self, rng):
+        from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
+
+        signs = np.where(rng.standard_normal((512, 64)) > 0, 1.0, -1.0)
+        q = signs[:9]
+        exact = BinaryIndex(n_bits=64, capacity=512, mode="sign")
+        approx = BinaryIndex(n_bits=64, capacity=512, mode="sign",
+                             selection="approx", recall_target=0.95)
+        exact.add(signs)
+        approx.add(signs)
+        De, Ie = exact.search(q, 5)
+        Da, Ia = approx.search(q, 5)
+        np.testing.assert_array_equal(De[:, 0], 0)  # self at distance 0
+        np.testing.assert_array_equal(Da[:, 0], 0)
+        # tie-aware: every approx distance must match the exact bar per slot
+        np.testing.assert_array_equal(np.sort(Da, 1), np.sort(De, 1))
+
+    def test_approx_requires_sign_mode(self):
+        from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
+
+        with pytest.raises(AssertionError):
+            BinaryIndex(n_bits=64, capacity=128, mode="packed",
+                        selection="approx")
