@@ -134,12 +134,16 @@ def evaluate_binary(
     k: int = 100,
     mode: str = "sign",
     with_report: bool = True,
+    selection: str = "exact",
+    recall_target: float = 0.95,
 ) -> SearchResult:
     """The code_len>0 serve path of fine_tune_ours.test() (:839-879):
-    Hamming search over BinarizeHead codes."""
+    Hamming search over BinarizeHead codes. ``selection='approx'`` (sign
+    mode) serves at 4.3x the exact scan on TPU (ops.hamming.sign_topk)."""
     n_bits = db_codes.shape[1]
     t0 = time.perf_counter()
-    index = BinaryIndex(n_bits=n_bits, capacity=db_codes.shape[0], mode=mode)
+    index = BinaryIndex(n_bits=n_bits, capacity=db_codes.shape[0], mode=mode,
+                        selection=selection, recall_target=recall_target)
     index.add(db_codes)
     t1 = time.perf_counter()
     D, I = index.search(query_codes, k)
