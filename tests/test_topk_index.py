@@ -488,3 +488,21 @@ class TestSignApprox:
         with pytest.raises(AssertionError):
             BinaryIndex(n_bits=64, capacity=128, mode="packed",
                         selection="approx")
+
+
+class TestFastestDenseMode:
+    def test_int8x8_approx_combination(self, data):
+        """The README's fastest dense mode: quantize='int8x8' +
+        mode='approx' (on CPU approx_max_k reduces to exact selection, so
+        this pins the combination's plumbing and quality)."""
+        from sessionsimilaritysearch_tpu.index.dense import DenseIndex
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        q, c = data
+        index = DenseIndex(dim=64, capacity=1000, metric="cos",
+                           quantize="int8x8", mode="approx")
+        index.add(c)
+        D, I = index.search(q, 10)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=4 / 127) == 1.0
