@@ -284,3 +284,19 @@ class TestShardedQuantized:
         D8, I8 = idx8.search(rows[:5], 3)
         np.testing.assert_array_equal(I4, I8)
         np.testing.assert_allclose(D4, D8, rtol=1e-5)
+
+
+class TestShardedApprox:
+    def test_approx_mode_wiring(self, mesh, rng):
+        """mode='approx' plumbs through the per-shard scan (on CPU
+        approx_max_k reduces to exact, pinning plumbing + merge)."""
+        corpus = rng.standard_normal((1024, 32)).astype(np.float32)
+        queries = rng.standard_normal((9, 32)).astype(np.float32)
+        idx = ShardedDenseIndex(dim=32, capacity=1024, mesh=mesh,
+                                metric="cos", chunk_size=64, mode="approx")
+        idx.add(corpus)
+        D, I = idx.search(queries, 7)
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        ovals, oidx = oracle_topk_np(qn, cn, 7)
+        np.testing.assert_allclose(D, ovals, rtol=1e-4)
