@@ -432,10 +432,12 @@ class SessionSearchEngine:
         )
 
         with self._ingest_lock:
+            # the snapshot carries the full serving configuration
+            # (mode/score_dtype/chunk_size/quantize) -- restore it verbatim
+            # rather than re-imposing this engine's construction defaults
             if isinstance(self.index, ShardedDenseIndex):
                 self.index = ShardedDenseIndex.load(
-                    prefix + ".index", mesh=self.index.mesh,
-                    mode=self.index.mode,
+                    prefix + ".index", mesh=self.index.mesh
                 )
             else:
                 self.index = DenseIndex.load(

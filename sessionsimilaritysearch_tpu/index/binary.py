@@ -11,10 +11,18 @@ BinarizeHead's sign outputs. Two storage modes:
   automatic fallback to the XLA scan where Mosaic is unavailable.
 - 'sign': +-1 bf16 rows, ranked by MXU matmul (see ops/hamming.py for the
   dot<->Hamming identity).
+
+Streaming contract (same as DenseIndex): the buffer is allocated at full
+``capacity`` once and every search scans the whole buffer with a dynamic
+``valid_count`` mask, so interleaved add/search NEVER recompiles -- scan
+cost is proportional to capacity, which the caller sizes. (Earlier rounds
+sliced ``buf[:size]``, retracing ~20-40 s per insert through the dev
+tunnel.)
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -108,20 +116,22 @@ class BinaryIndex:
         )
 
         nq = q.shape[0]
-        # scan only whole groups covering the valid prefix
-        n_scan = max(-(-self.size // _GROUP) * _GROUP, _GROUP)
+        n_scan = self._buf.shape[0]  # full capacity: inserts never retrace
         # rows_per_bucket: largest power of two <= 128 leaving >= k buckets
         rpb = 128
         while rpb > 1 and n_scan // rpb < k:
             rpb //= 2
         if n_scan // rpb < k:
             raise ValueError(f"k={k} too large for {n_scan} rows")
+        # group = 128*rpb must be divisible by block_c (% 128 == 0): shrink
+        # the corpus block when a large k drives rpb below 8
+        block_c = min(1024, 128 * rpb)
         q_pad = -(-nq // _BLOCK_Q) * _BLOCK_Q
         if q_pad != nq:
             q = jnp.pad(q, ((0, q_pad - nq), (0, 0)))
         d, i = pallas_hamming_topk(
-            q, self._buf[:n_scan], k, rows_per_bucket=rpb,
-            block_q=_BLOCK_Q,
+            q, self._buf, k, rows_per_bucket=rpb,
+            block_q=_BLOCK_Q, block_c=block_c,
             valid_count=jnp.asarray(self.size, jnp.int32),
             interpret=self.interpret,
         )
@@ -130,6 +140,7 @@ class BinaryIndex:
     def search(self, q_signs, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (hamming distances ascending [q,k], indices [q,k])."""
         q_signs = np.asarray(q_signs)
+        vc = jnp.asarray(self.size, jnp.int32)
         if self.mode == "packed":
             q = jnp.asarray(hamming.pack_bits_np(q_signs))
             if self._pallas_wanted(k):
@@ -137,15 +148,62 @@ class BinaryIndex:
                     return self._search_pallas(q, k)
                 except ValueError:
                     raise
-                except Exception:
-                    # Mosaic unavailable on this backend: remember and use
-                    # the XLA scan from now on
+                except Exception as e:  # Mosaic unavailable / lowering error
+                    warnings.warn(
+                        "Pallas Hamming kernel failed; this index falls "
+                        f"back to the ~34x-slower XLA popcount scan: {e!r}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                     self._pallas_broken = True
-            d, i = hamming.hamming_topk(q, self._buf[: self.size], k)
+            d, i = hamming.hamming_topk(q, self._buf, k, valid_count=vc)
         else:
             q = jnp.where(jnp.asarray(q_signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
             d, i = hamming.sign_topk(
-                q, self._buf[: self.size], k, n_bits=self.n_bits,
+                q, self._buf, k, n_bits=self.n_bits,
                 mode=self.selection, recall_target=self.recall_target,
+                valid_count=vc,
             )
         return np.asarray(d), np.asarray(i)
+
+    # --- persistence (reference: faiss.write_index/read_index for the
+    #     binary index are absent upstream -- fine_tune_ours.py rebuilds
+    #     from embeddings every run; first-class here, incl. the serving
+    #     configuration so a tuned engine restores tuned)
+    def save(self, path: str) -> None:
+        rows = self._buf[: self.size]
+        if self.mode == "sign":
+            # bf16 isn't a native npz dtype; +-1 rows round-trip via int8
+            buf = np.asarray(rows.astype(jnp.int8))
+        else:
+            buf = np.asarray(rows)
+        np.savez(
+            path,
+            buf=buf,
+            n_bits=self.n_bits,
+            capacity=self.capacity,
+            mode=self.mode,
+            selection=self.selection,
+            recall_target=self.recall_target,
+            size=self.size,
+        )
+
+    @classmethod
+    def load(cls, path: str, capacity: Optional[int] = None, **kw) -> "BinaryIndex":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        idx = cls(
+            n_bits=int(z["n_bits"]),
+            capacity=capacity or int(z["capacity"]),
+            mode=str(z["mode"]),
+            selection=str(z["selection"]),
+            recall_target=float(z["recall_target"]),
+            **kw,
+        )
+        size = int(z["size"])
+        if size:
+            rows = jnp.asarray(z["buf"])
+            if idx.mode == "sign":
+                rows = rows.astype(jnp.bfloat16)  # int8 +-1 -> bf16 rows
+            idx._buf = _write_rows(idx._buf, rows, jnp.asarray(0, jnp.int32))
+            idx.size = size
+        return idx

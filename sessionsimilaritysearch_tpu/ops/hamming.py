@@ -55,14 +55,21 @@ def hamming_topk(
     c_codes: jnp.ndarray,
     k: int,
     chunk_size: int = 65536,
+    valid_count=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact Hamming top-k over packed int32 codes.
 
     Returns (distances [q, k] ascending, indices [q, k]); distances follow
     FAISS IndexBinaryFlat convention (smaller = closer).
+
+    ``valid_count``: dynamic number of valid corpus rows (default n). Pass
+    it instead of slicing the corpus so streaming inserts into a fixed
+    buffer never retrace (same contract as ops.topk.chunked_topk).
     """
     q, w = q_codes.shape
     n = c_codes.shape[0]
+    if valid_count is None:
+        valid_count = jnp.asarray(n, jnp.int32)
     chunk_size = min(chunk_size, max(n, 1))
     n_chunks = -(-n // chunk_size)
     n_pad = n_chunks * chunk_size
@@ -81,7 +88,7 @@ def hamming_topk(
             jax.lax.population_count(x).astype(jnp.int32), axis=-1
         )  # [q, chunk]
         gidx = base + col
-        neg = jnp.where(gidx < n, -dist, jnp.iinfo(jnp.int32).min)
+        neg = jnp.where(gidx < valid_count, -dist, jnp.iinfo(jnp.int32).min)
         c_vals, c_pos = jax.lax.top_k(neg, min(k, chunk_size))
         c_idx = base + c_pos
         vals = jnp.concatenate([best_neg, c_vals], axis=-1)
@@ -116,6 +123,7 @@ def sign_topk(
     chunk_size: int = 1 << 20,
     mode: str = "exact",
     recall_target: float = 0.95,
+    valid_count=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hamming top-k via +-1 matmul on the MXU.
 
@@ -149,6 +157,7 @@ def sign_topk(
         mode=mode,
         recall_target=recall_target,
         score_dtype=jnp.bfloat16 if n_bits <= 256 else jnp.float32,
+        valid_count=valid_count,
     )
     # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2. Missing slots
     # carry ip=-inf; float->int conversion of inf is implementation-defined,

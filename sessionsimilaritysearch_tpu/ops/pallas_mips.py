@@ -348,7 +348,15 @@ def pallas_bucketed_topk(
     rows = view[g, :, b]  # [q, k, S, d]
     # keep the gathered rows in the corpus dtype and accumulate in f32 on
     # the MXU -- casting the [q, k, S, d] gather to f32 first doubles its
-    # HBM footprint (q=256, k=100, S=128, d=1600 would materialize 21 GB)
+    # HBM footprint (q=256, k=100, S=128, d=1600 would materialize 21 GB).
+    # NOTE: with a bf16 corpus this rounds f32 queries to bf16 for the
+    # re-rank (exact at bf16 precision, same contract as the production
+    # bf16-scored XLA scan). int8-quantized corpora are NOT supported here
+    # -- the cast would truncate float queries to garbage codes; use
+    # ops.topk.chunked_topk's corpus_scales path instead.
+    assert jnp.issubdtype(corpus.dtype, jnp.floating), (
+        f"pallas_bucketed_topk requires a floating corpus, got {corpus.dtype}"
+    )
     cand = jnp.einsum(
         "qd,qksd->qks",
         queries.astype(corpus.dtype),
@@ -426,10 +434,10 @@ def _hamming_bucket_min_kernel(q_ref, c_ref, m_ref, *, words: int):
 
     Deliberately NO in-kernel valid_count masking: adding the SMEM scalar +
     per-step iota/where was measured to slow the kernel ~5x on v5e (40 ms
-    -> 195 ms at 1M x 250 bits; likely deoptimized pipelining). Invalid
-    tail rows can only make a bucket's min SMALLER (false-positive bucket,
-    never a false negative), so :func:`pallas_hamming_topk` compensates by
-    widening the bucket selection instead -- see there."""
+    -> 195 ms at 1M x 250 bits; likely deoptimized pipelining). Streaming
+    validity is handled by the PENALTY variant below (a per-row additive
+    int32 streamed alongside the codes), which costs one broadcast VPU add
+    per tile instead of per-step index generation."""
     r = pl.program_id(2)
     qb = q_ref[:].astype(jnp.uint32)   # [TQ, W]
     cb = c_ref[:].astype(jnp.uint32)   # [BLK, W]
@@ -439,6 +447,34 @@ def _hamming_bucket_min_kernel(q_ref, c_ref, m_ref, *, words: int):
     for jw in range(words):  # static unroll
         x = jnp.bitwise_xor(qb[:, jw][:, None], cb[:, jw][None, :])
         dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    part = jnp.min(dist.reshape(tq, blk // 128, 128), axis=1)
+
+    @pl.when(r == 0)
+    def _():
+        m_ref[:] = part
+
+    @pl.when(r != 0)
+    def _():
+        m_ref[:] = jnp.minimum(m_ref[:], part)
+
+
+def _hamming_bucket_min_pen_kernel(q_ref, c_ref, pen_ref, m_ref, *, words: int):
+    """Penalty variant: dist += per-row penalty (0 for valid rows, a huge
+    constant for rows beyond the corpus fill count) BEFORE the bucket fold,
+    so an invalid row can never contaminate its bucket's min. One extra
+    [1, BLK] int32 stream (+4 bytes/row of HBM traffic vs 4*words for the
+    codes) and one broadcast add per tile -- unlike in-kernel iota masking
+    this preserves the pipelined grid (see _hamming_bucket_min_kernel)."""
+    r = pl.program_id(2)
+    qb = q_ref[:].astype(jnp.uint32)   # [TQ, W]
+    cb = c_ref[:].astype(jnp.uint32)   # [BLK, W]
+    tq = qb.shape[0]
+    blk = cb.shape[0]
+    dist = jnp.zeros((tq, blk), dtype=jnp.int32)
+    for jw in range(words):  # static unroll
+        x = jnp.bitwise_xor(qb[:, jw][:, None], cb[:, jw][None, :])
+        dist = dist + jax.lax.population_count(x).astype(jnp.int32)
+    dist = dist + pen_ref[:]           # [1, BLK] broadcasts over TQ
     part = jnp.min(dist.reshape(tq, blk // 128, 128), axis=1)
 
     @pl.when(r == 0)
@@ -460,13 +496,19 @@ def hamming_bucket_min(
     rows_per_bucket: int = 128,
     block_q: int = 256,
     block_c: int = 1024,
+    penalties: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused packed-Hamming + strided-bucket min: [q, n // rows_per_bucket]
     where entry (i, g * 128 + b) = min Hamming distance from query i to
     ``bucket_members_view`` bucket (g, b). Same grid/constraint structure
-    as :func:`scores_bucket_max`. No validity masking -- see the kernel
-    docstring; callers mask at re-rank time."""
+    as :func:`scores_bucket_max`.
+
+    ``penalties``: optional [1, n] int32 added to each corpus row's
+    distance before the bucket fold (0 = live row, huge = masked row) --
+    the streaming-validity mechanism (see the kernel docstrings; in-kernel
+    iota masking measured 5x slower). Without it, callers must mask at
+    re-rank time."""
     q, w = q_codes.shape
     n = c_codes.shape[0]
     group = 128 * rows_per_bucket
@@ -477,33 +519,49 @@ def hamming_bucket_min(
 
     inner = group // block_c
     grid = (q // block_q, n // group, inner)
+    in_specs = [
+        pl.BlockSpec(
+            (block_q, w), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (block_c, w),
+            lambda i, j, r: (j * inner + r, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [q_codes, c_codes]
+    if penalties is None:
+        kernel = functools.partial(_hamming_bucket_min_kernel, words=w)
+    else:
+        assert penalties.shape == (1, n), (penalties.shape, n)
+        kernel = functools.partial(_hamming_bucket_min_pen_kernel, words=w)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_c),
+                lambda i, j, r: (0, j * inner + r),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(penalties)
     return pl.pallas_call(
-        functools.partial(_hamming_bucket_min_kernel, words=w),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(
             (q, n // rows_per_bucket), jnp.int32
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (block_q, w), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (block_c, w),
-                lambda i, j, r: (j * inner + r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (block_q, 128), lambda i, j, r: (i, j), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * q * n * w,  # xor + popcount + add per word
             bytes_accessed=q * w * 4 + n * w * 4
-            + q * (n // rows_per_bucket) * 4,
+            + q * (n // rows_per_bucket) * 4
+            + (0 if penalties is None else n * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_codes, c_codes)
+    )(*operands)
 
 
 @functools.partial(
@@ -528,23 +586,34 @@ def pallas_hamming_topk(
     rows >= valid_count are excluded and missing slots carry
     (INT32_MAX, -1), matching hamming_topk's conventions.
 
-    Exactness with a valid_count: the kernel computes bucket mins WITHOUT
-    validity masking (masking in-kernel measured 5x slower -- see
-    _hamming_bucket_min_kernel). An invalid tail row can only make its
-    bucket's min smaller, i.e. produce a FALSE-POSITIVE bucket; a true
-    top-k row's bucket min is never hurt. Invalid rows all live in the
-    final 128-row-group, so they contaminate at most 128 buckets; at most
-    k-1 buckets can genuinely outrank a true top-k row's bucket, so
-    selecting k+128 buckets and masking candidates by global id at re-rank
-    keeps the result exact."""
+    Exactness with a valid_count: rows >= valid_count receive a +2^20
+    additive penalty INSIDE the kernel (a [1, n] int32 streamed alongside
+    the codes -- see _hamming_bucket_min_pen_kernel), so no bucket's min is
+    ever contaminated by an invalid row and plain top-k bucket selection
+    stays exact regardless of how many groups the invalid tail spans. (The
+    previous compensation -- widening the selection by a flat 128 buckets
+    -- silently dropped true neighbors whenever the tail spanned multiple
+    128*rows_per_bucket groups.) The re-rank additionally masks gathered
+    candidates by global id, which also covers ties at the boundary."""
     q, w = q_codes.shape
     n = c_codes.shape[0]
     big = jnp.iinfo(jnp.int32).max
+    penalties = None
+    if valid_count is not None:
+        # 0 for live rows, +2^20 (>> any popcount distance) for the tail;
+        # rebuilt per call from the dynamic fill count so growing a corpus
+        # never retraces this function
+        penalties = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < valid_count,
+            0,
+            1 << 20,
+        ).astype(jnp.int32)
     bmin = hamming_bucket_min(
         q_codes, c_codes, rows_per_bucket, block_q, block_c,
-        interpret=interpret,
+        penalties=penalties, interpret=interpret,
     )
-    kb = k if valid_count is None else min(k + 128, n // rows_per_bucket)
+    assert k <= n // rows_per_bucket, (k, n, rows_per_bucket)
+    kb = k
     _, b_idx = jax.lax.top_k(-bmin, kb)  # best (smallest-min) buckets
     view = bucket_members_view(c_codes, rows_per_bucket)  # [G, S, 128, w]
     g, b = b_idx // 128, b_idx % 128

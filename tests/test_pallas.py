@@ -222,3 +222,50 @@ class TestPallasHamming:
         dp, ip = pall.search(q_signs[:13], k=7)
         dx, ix = xla.search(q_signs[:13], k=7)
         np.testing.assert_array_equal(np.sort(dp, 1), np.sort(dx, 1))
+
+    def test_pallas_hamming_topk_multi_group_tail(self, codes):
+        """ADVICE r2 (medium): with small rows_per_bucket the invalid tail
+        can span MANY 128*rpb groups; the old flat k+128 bucket widening
+        silently dropped true neighbors. The penalty-word kernel keeps the
+        result exact: here the tail is 3596 rows (> one 2048-row group) and
+        every tail row is a COPY of the queries (distance-0 contamination in
+        almost every bucket)."""
+        from sessionsimilaritysearch_tpu.ops.hamming import (
+            oracle_hamming_np, pack_bits_np,
+        )
+
+        q_signs, c_signs, qc, _ = codes
+        valid = 500
+        hostile = np.concatenate(
+            [c_signs[:valid]]
+            + [q_signs for _ in range(15)]  # 500 + 15*256 = 4340 -> trim
+        )[:4096]
+        cc = jnp.asarray(pack_bits_np(hostile))
+        with pltpu.force_tpu_interpret_mode():
+            d, i = pallas_mips.pallas_hamming_topk(
+                qc, cc, k=10, rows_per_bucket=16, block_q=256,
+                block_c=2048, valid_count=jnp.asarray(valid, jnp.int32),
+            )
+        d, i = np.asarray(d), np.asarray(i)
+        assert i.max() < valid
+        ov, _ = oracle_hamming_np(q_signs, hostile[:valid], 10)
+        np.testing.assert_array_equal(np.sort(d, axis=1), np.sort(ov, axis=1))
+
+    def test_small_rows_per_bucket_block_c(self, codes):
+        """rpb < 8 forces block_c below 1024 (group % block_c == 0); the
+        adaptive block_c in BinaryIndex._search_pallas handles it (ADVICE
+        r2: large k used to trip the kernel's divisibility assert and
+        permanently pin the index to the XLA fallback)."""
+        from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
+
+        q_signs, c_signs, _, _ = codes
+        idx = BinaryIndex(n_bits=250, capacity=4096, mode="packed",
+                          use_pallas=True, interpret=True)
+        idx.add(c_signs[:3000])
+        # capacity pads to 16384 rows; k=200 needs rpb <= 16384/200 -> rpb=64
+        # still fine; force tiny rpb via a much larger k
+        d, i = idx.search(q_signs[:8], k=3000)
+        assert not idx._pallas_broken
+        assert i.shape == (8, 3000)
+        valid_hits = i[d < np.iinfo(np.int32).max]
+        assert valid_hits.max() < 3000

