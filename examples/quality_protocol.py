@@ -29,7 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from sessionsimilaritysearch_tpu.config import tiny_test_config
-from sessionsimilaritysearch_tpu.data import SyntheticSessionGenerator
+from sessionsimilaritysearch_tpu.data import (
+    AdversarialSessionGenerator,
+    SyntheticSessionGenerator,
+)
 from sessionsimilaritysearch_tpu.data.augment import random_exchange_order
 from sessionsimilaritysearch_tpu.data.loader import (
     ContrastiveViewLoader,
@@ -75,12 +78,18 @@ def _disjoint_datasets(gen, n_corpus, n_queries, asins):
 def run_seed(seed: int, args) -> dict:
     """One full independent trial: fresh catalog, data, and model init."""
     cfg = tiny_test_config(
-        asin_num=args.asins, gnn_nout=64, gnn_nhid=64, emb_len=48,
-        text_encoder_dim=64, batch_size=64, ctv_w=0.5,
+        asin_num=args.asins, gnn_nout=args.gnn_nout, gnn_nhid=args.gnn_nhid,
+        emb_len=args.emb_len, text_encoder_dim=args.text_dim,
+        batch_size=64, ctv_w=0.5,
     )
-    gen = SyntheticSessionGenerator(
-        asin_num=args.asins, n_types=args.types, seed=1000 + seed
-    )
+    if args.regime == "adversarial":
+        gen = AdversarialSessionGenerator(
+            asin_num=args.asins, seed=1000 + seed
+        )
+    else:
+        gen = SyntheticSessionGenerator(
+            asin_num=args.asins, n_types=args.types, seed=1000 + seed
+        )
     t0 = time.time()
     if args.disjoint:
         corpus_data, test_data = _disjoint_datasets(
@@ -185,6 +194,18 @@ def main():
     ap.add_argument("--types", type=int, default=25)
     ap.add_argument("--asins", type=int, default=8000)
     ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--regime", default="clustered",
+                    choices=["clustered", "adversarial"],
+                    help="'adversarial' = overlap-hostile generator "
+                         "(power-law popularity, cross-type trending head, "
+                         "hierarchical taxonomy, title synonymy; VERDICT r2 "
+                         "item 2) where SKNN is NOT near-oracle")
+    # encoder width (session dim = 2*gnn_nout); defaults match the r2 runs,
+    # raise for flagship-width evidence (VERDICT r2 item 1)
+    ap.add_argument("--gnn-nout", type=int, default=64)
+    ap.add_argument("--gnn-nhid", type=int, default=64)
+    ap.add_argument("--emb-len", type=int, default=48)
+    ap.add_argument("--text-dim", type=int, default=64)
     ap.add_argument("--out", default=None, help="write per-seed JSON here")
     ap.add_argument("--disjoint", action="store_true",
                     help="out-of-catalog: corpus/queries from disjoint "

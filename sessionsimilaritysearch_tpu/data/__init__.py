@@ -17,6 +17,7 @@ from sessionsimilaritysearch_tpu.data.graph import (  # noqa: F401
     sequence_to_graph,
 )
 from sessionsimilaritysearch_tpu.data.synthetic import (  # noqa: F401
+    AdversarialSessionGenerator,
     SyntheticSessionGenerator,
 )
 from sessionsimilaritysearch_tpu.data.similarity import (  # noqa: F401

@@ -265,3 +265,95 @@ class TestSynthetic:
         assert np.all(np.diag(mat) >= 0.99)
         off = mat[~np.eye(10, dtype=bool)]
         assert off.std() > 0.01
+
+
+class TestAdversarialSynthetic:
+    """The overlap-hostile regime (VERDICT r2 item 2): item overlap must be
+    a WEAK similarity signal while the type structure stays intact."""
+
+    @pytest.fixture(scope="class")
+    def agen(self):
+        from sessionsimilaritysearch_tpu.data.synthetic import (
+            AdversarialSessionGenerator,
+        )
+
+        return AdversarialSessionGenerator(asin_num=2000, seed=3)
+
+    def test_schema_conformance_and_graph_build(self, agen, tokenizer):
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        cfg = tiny_test_config(asin_num=2000)
+        data = agen.dataset(8)
+        for d in data:
+            for a in list(d[0]) + list(d[1]):
+                assert a.action_type in ("s", "c", "ca", "p")
+                if a.action_type != "s":
+                    assert isinstance(a.asin_id, int) and a.title
+        b = batch_graphs([
+            sequence_to_graph(0, *d, tokenizer, cfg.dims) for d in data
+        ])
+        assert b.product_cnt.shape[0] == 8
+
+    def test_power_law_popularity(self, agen):
+        """Click counts concentrate: the head of the distribution is far
+        above a uniform draw's."""
+        clicks = []
+        for _ in range(400):
+            clicks += [a.asin_id for a in agen.session()
+                       if a.action_type != "s"]
+        _, counts = np.unique(clicks, return_counts=True)
+        counts = np.sort(counts)[::-1]
+        uniform_share = len(clicks) / agen.asin_num
+        assert counts[0] > 20 * uniform_share  # trending head dominates
+
+    def test_trending_items_cross_types(self, agen):
+        """Trending clicks ignore session interests, so trending items'
+        subtypes span many parents -- the spurious-overlap mechanism."""
+        tr_types = {int(agen.product_type[a]) for a in agen.trending}
+        parents = {int(agen.parent_of[t]) for t in tr_types}
+        assert len(parents) >= 3
+
+    def test_sibling_vocab_shared_names_distinct(self, agen):
+        """Sibling subtypes share synonym vocabulary (hierarchical text
+        structure) but ground-truth type names stay distinct."""
+        shared = [
+            len(set(agen.syn_pool[t]) & set(agen.syn_pool[t + 1]))
+            for t in range(0, agen.n_types - 1, agen.subs_per_parent)
+        ]
+        assert any(s > 0 for s in shared)
+        assert len(set(agen.type_name)) == agen.n_types
+
+    def test_overlap_is_weak_evidence(self, agen):
+        """THE regime property: overlap-ranked retrieval (SKNN's mechanism)
+        scores far below the type-score oracle, unlike the clustered
+        generator where it is near-oracle (docs/RESULTS.md)."""
+        from sessionsimilaritysearch_tpu.data.similarity import get_score
+
+        corpus = [(agen.session(), []) for _ in range(600)]
+        queries = [(agen.session(), []) for _ in range(25)]
+
+        def items(d):
+            return frozenset(a.asin_id for a in d[0] if a.action_type != "s")
+
+        ci = [items(c) for c in corpus]
+        k = 10
+        sknn, oracle = [], []
+        for q in queries:
+            qi = items(q)
+            ov = np.array([
+                len(qi & c) / max((len(qi) * len(c)) ** 0.5, 1e-9)
+                for c in ci
+            ])
+            top = np.argsort(-ov)[:k]
+            ts = np.array([
+                get_score(q, c, "all_product_type_score") for c in corpus
+            ])
+            sknn.append(ts[top].mean())
+            oracle.append(np.sort(ts)[-k:].mean())
+        sknn_m, oracle_m = np.mean(sknn), np.mean(oracle)
+        assert oracle_m > 0.75  # type structure intact: good neighbors exist
+        assert sknn_m < 0.75 * oracle_m  # ...but overlap can't find them
