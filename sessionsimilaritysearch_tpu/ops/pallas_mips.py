@@ -415,6 +415,186 @@ def pallas_exact_topk(
     return c_vals, idx
 
 
+def _scores_bmax_int8_kernel(q_ref, c_ref, cs_ref, s_ref, m_ref):
+    """int8 x int8 -> int32 on the MXU's double-rate path, dequantized by
+    the corpus-row scale and bucket-max-folded in VMEM. The full int32
+    product matrix never exists in HBM (the XLA int8x8 path materializes
+    it before dequantizing: 4 GB at 1024 x 1M).
+
+    Per-QUERY scales are deliberately absent: a query's scale is a constant
+    positive factor on its whole score row, so ranking and bucket argmax
+    are invariant to it -- the caller rescales the final [q, k] values
+    instead (pallas_exact_topk_int8)."""
+    r = pl.program_id(2)
+    qc = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [TQ, BLK] int32
+    scores = qc.astype(jnp.float32) * cs_ref[:]  # [1, BLK] broadcasts
+    s_ref[:] = scores.astype(s_ref.dtype)
+    tq, blk = scores.shape
+    part = jnp.max(scores.reshape(tq, blk // 128, 128), axis=1)
+
+    @pl.when(r == 0)
+    def _():
+        m_ref[:] = part
+
+    @pl.when(r != 0)
+    def _():
+        m_ref[:] = jnp.maximum(m_ref[:], part)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rows_per_bucket", "block_q", "block_c", "score_dtype", "interpret"
+    ),
+)
+def scores_with_bucket_max_int8(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    corpus_scales: jnp.ndarray,
+    rows_per_bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int8 scan: (row-scaled scores [q, n] ``score_dtype``, strided
+    bucket maxes [q, n // rows_per_bucket] f32). ``queries``/``corpus`` are
+    int8 codes (DenseIndex(quantize='int8x8') storage); scores come back
+    multiplied by ``corpus_scales`` only -- apply the per-query scale to
+    the final top-k values, not the matrix. Rows >= valid_count score
+    -3e38. Same grid constraints as :func:`scores_with_bucket_max`."""
+    q, d = queries.shape
+    n = corpus.shape[0]
+    group = 128 * rows_per_bucket
+    assert queries.dtype == jnp.int8 and corpus.dtype == jnp.int8
+    assert q % block_q == 0, (q, block_q)
+    assert n % group == 0, (n, group)
+    assert group % block_c == 0, (group, block_c)
+    assert block_c % 128 == 0, block_c
+    inner = group // block_c
+    cs = corpus_scales.astype(jnp.float32).reshape(1, n)
+    if valid_count is not None:
+        # fold validity into the scale stream: invalid rows get scale 0 and
+        # hence score 0 (see pallas_exact_topk_int8's validity note); no
+        # extra kernel input or in-kernel masking needed
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        cs = jnp.where(col < valid_count, cs, jnp.float32(0))
+    out = pl.pallas_call(
+        _scores_bmax_int8_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((q, n), score_dtype),
+            jax.ShapeDtypeStruct((q, n // rows_per_bucket), jnp.float32),
+        ),
+        grid=(q // block_q, n // group, inner),
+        in_specs=[
+            pl.BlockSpec(
+                (block_q, d), lambda i, j, r: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_c, d),
+                lambda i, j, r: (j * inner + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_c),
+                lambda i, j, r: (0, j * inner + r),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_q, block_c),
+                lambda i, j, r: (i, j * inner + r),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_q, 128), lambda i, j, r: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * n * d,
+            bytes_accessed=(
+                q * d + n * d + n * 4
+                + q * n * jnp.dtype(score_dtype).itemsize
+                + q * (n // rows_per_bucket) * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, corpus, cs)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "rows_per_bucket", "block_q", "block_c", "score_dtype",
+        "interpret",
+    ),
+)
+def pallas_exact_topk_int8(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    k: int,
+    query_scales: jnp.ndarray,
+    corpus_scales: jnp.ndarray,
+    rows_per_bucket: int = 128,
+    block_q: int = 256,
+    block_c: int = 1024,
+    valid_count: Optional[jnp.ndarray] = None,
+    score_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over an int8x8-quantized corpus with the fused Pallas
+    scan: one kernel pass emits row-scaled scores + bucket maxes (the int32
+    product matrix never reaches HBM), selection and exact re-rank follow
+    :func:`pallas_exact_topk`, and the per-query scale multiplies only the
+    final [q, k] values. Ranking matches ops.topk.chunked_topk with
+    query_scales/corpus_scales at equal score dtype.
+
+    Validity note: rows >= valid_count get corpus scale 0, i.e. score 0.
+    For 'cos'/'ip' corpora whose true top-k scores are positive this is
+    exact once >= k positive-scoring valid rows exist; the re-rank
+    additionally masks candidate ids >= valid_count so invalid rows are
+    never RETURNED (they can only waste candidate slots while the corpus
+    is nearly empty or all-negative -- pair with the XLA path if that
+    regime matters)."""
+    q, d = queries.shape
+    n = corpus.shape[0]
+    scores, bmax = scores_with_bucket_max_int8(
+        queries, corpus, corpus_scales, rows_per_bucket, block_q, block_c,
+        valid_count=valid_count, score_dtype=score_dtype,
+        interpret=interpret,
+    )
+    _, b_idx = jax.lax.top_k(bmax, k)
+    group = 128 * rows_per_bucket
+    s4 = scores.reshape(q, n // group, rows_per_bucket, 128)
+    g, b = b_idx // 128, b_idx % 128
+    qi = jnp.arange(q)[:, None]
+    cand = s4[qi, g, :, b].astype(jnp.float32)  # [q, k, S]
+    cand = cand.reshape(q, k * rows_per_bucket)
+    all_pos = jnp.broadcast_to(
+        jnp.arange(k * rows_per_bucket, dtype=jnp.int32),
+        (q, k * rows_per_bucket),
+    )
+    gids = _global_rows(b_idx, all_pos, rows_per_bucket)
+    if valid_count is not None:
+        cand = jnp.where(gids < valid_count, cand, -jnp.inf)
+    c_vals, c_pos = jax.lax.top_k(cand, k)
+    idx = jnp.take_along_axis(gids, c_pos, axis=1)
+    idx = jnp.where(jnp.isfinite(c_vals), idx, -1)
+    vals = c_vals * query_scales[:, None].astype(jnp.float32)
+    vals = jnp.where(jnp.isfinite(c_vals), vals, -jnp.inf)
+    return vals, idx
+
+
 # ---------------------------------------------------------------------------
 # Packed Hamming: XOR + popcount fully in VMEM over uint32-packed codes.
 # The sign-matmul path (ops/hamming.py sign_topk) is the SPEED path (MXU);

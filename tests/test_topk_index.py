@@ -640,3 +640,73 @@ class TestSnapshotFidelity:
         # streaming continues after restore without retracing shapes
         loaded.add(codes[:50])
         assert loaded.size == 250
+
+
+class TestExactCert:
+    """Exact-with-certificate selection (VERDICT r2 item 6): approx bucket
+    selection, bucket-max certificate, lax.cond fallback."""
+
+    def test_matches_oracle(self, rng):
+        c = rng.standard_normal((4096, 32)).astype(np.float32)
+        q = rng.standard_normal((16, 32)).astype(np.float32)
+        v, i = chunked_topk(q, c, 10, chunk_size=4096, mode="exact_cert",
+                            bucket=128)
+        ov, oi = oracle_topk_np(q, c, 10)
+        np.testing.assert_allclose(np.asarray(v), ov, rtol=1e-4, atol=1e-5)
+        assert recall_at_k(np.asarray(i), oi) > 0.95
+
+    def test_dense_index_mode(self, rng):
+        c = rng.standard_normal((2048, 16)).astype(np.float32)
+        exact = DenseIndex(dim=16, capacity=2048, metric="cos",
+                           chunk_size=2048)
+        cert = DenseIndex(dim=16, capacity=2048, metric="cos",
+                          mode="exact_cert", chunk_size=2048)
+        exact.add(c)
+        cert.add(c)
+        D1, I1 = exact.search(c[:8], 10)
+        D2, I2 = cert.search(c[:8], 10)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5)
+        np.testing.assert_array_equal(np.sort(I1, 1), np.sort(I2, 1))
+
+    def test_fallback_branch_is_exact(self, rng):
+        """Force the violation branch by monkeypatching approx_max_k to
+        return the WORST buckets -- the certificate must catch it and the
+        fallback must still return the exact answer."""
+        import jax as _jax
+        from sessionsimilaritysearch_tpu.ops import topk as topk_mod
+
+        c = rng.standard_normal((4096, 16)).astype(np.float32)
+        q = rng.standard_normal((8, 16)).astype(np.float32)
+        real = _jax.lax.approx_max_k
+
+        def worst(x, kk, recall_target=0.95, **kw):
+            nv, ni = real(-x, kk, recall_target=recall_target, **kw)
+            return -nv, ni
+
+        orig = topk_mod.jax.lax.approx_max_k
+        topk_mod.jax.lax.approx_max_k = worst
+        try:
+            # fresh trace: different python callable is not in jit cache
+            v, i = topk_mod.chunked_topk.__wrapped__(
+                jnp.asarray(q), jnp.asarray(c), 10, chunk_size=4096,
+                mode="exact_cert", bucket=128,
+            )
+        finally:
+            topk_mod.jax.lax.approx_max_k = orig
+        ov, oi = oracle_topk_np(q, c, 10)
+        np.testing.assert_allclose(np.asarray(v), ov, rtol=1e-4, atol=1e-5)
+
+    def test_streaming_valid_count(self, rng):
+        idx = DenseIndex(dim=16, capacity=1024, metric="ip",
+                         mode="exact_cert", chunk_size=1024)
+        rows = rng.standard_normal((700, 16)).astype(np.float32)
+        idx.add(rows[:300])
+        q = rows[:5]
+        D, I = idx.search(q, 8)
+        assert I.max() < 300
+        ov, oi = oracle_topk_np(q, rows[:300], 8)
+        np.testing.assert_allclose(D, ov, rtol=1e-4, atol=1e-5)
+        idx.add(rows[300:])
+        D, I = idx.search(q, 8)
+        ov, oi = oracle_topk_np(q, rows, 8)
+        np.testing.assert_allclose(D, ov, rtol=1e-4, atol=1e-5)
