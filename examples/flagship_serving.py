@@ -1,0 +1,343 @@
+"""Flagship end-to-end serving artifact (VERDICT r2 item 5).
+
+One run ties the whole chain together at the reference's operating point —
+the shape of ``test_amazon_filterd.main2('model', path)``
+(test_amazon_filterd.py:452-692): train the flagship encoder (768/800 →
+1600-d sessions) on synthetic sessions over the full 391,572-asin catalog,
+build the catalog title-embedding cache, embed a ~1M-session corpus, and
+serve the SAME embeddings through every production search mode — reporting
+embed throughput, per-mode QPS, value-recall vs the f64 oracle, and
+ground-truth retrieval quality (ave type score@10) from ONE corpus.
+
+Run (TPU): python examples/flagship_serving.py
+Smoke:     python examples/flagship_serving.py --platform cpu --tiny
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sessionsimilaritysearch_tpu.config import Config, tiny_test_config
+from sessionsimilaritysearch_tpu.data import (
+    AdversarialSessionGenerator,
+    SyntheticSessionGenerator,
+)
+from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+from sessionsimilaritysearch_tpu.data.similarity import get_ave_score
+from sessionsimilaritysearch_tpu.evalharness.harness import (
+    EmbeddingPipeline,
+    build_title_table,
+    make_cached_encode_fn,
+)
+from sessionsimilaritysearch_tpu.index.dense import _quantize_rows_int8
+from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes, sign_topk
+from sessionsimilaritysearch_tpu.ops.topk import (
+    chunked_topk,
+    l2_normalize,
+    value_recall_at_k,
+)
+from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+from sessionsimilaritysearch_tpu.training.loop import to_device
+from sessionsimilaritysearch_tpu.models.encoder import build_graph_encoder
+from sessionsimilaritysearch_tpu.training.session_trainers import (
+    create_session_state,
+    make_session_train_step,
+)
+from sessionsimilaritysearch_tpu.utils.precision import serving_params
+
+
+def _timed(fn, q0, iters, chain):
+    """Median-free simple mean timing with chained data dependencies (the
+    dev-chip runtime can return from block_until_ready early; chaining each
+    iteration through the previous result and materializing the last one is
+    the repo-wide timing convention, see bench.py)."""
+    q = q0
+    for _ in range(3):
+        out = fn(q)
+        q = chain(q, out)
+    np.asarray(out[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(q)
+        q = chain(q, out)
+    np.asarray(out[0])
+    return (time.perf_counter() - t0) / iters, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=1 << 20)
+    ap.add_argument("--train-sessions", type=int, default=12_800)
+    ap.add_argument("--train-steps", type=int, default=400)
+    ap.add_argument("--asin-num", type=int, default=391_572)
+    ap.add_argument("--queries", type=int, default=1024)
+    ap.add_argument("--quality-queries", type=int, default=200)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--bits", type=int, default=250)
+    ap.add_argument("--embed-batch", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--regime", default="clustered",
+                    choices=["clustered", "adversarial"])
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.tiny:
+        cfg = tiny_test_config()
+        args.sessions, args.train_sessions = 2048, 256
+        args.train_steps, args.queries = 30, 64
+        args.quality_queries, args.k = 32, 10
+        args.embed_batch, args.iters, args.bits = 128, 2, 32
+        args.asin_num = cfg.asin_num
+    else:
+        cfg = Config().replace(
+            asin_num=args.asin_num, batch_size=256,  # 2x the b50 throughput
+        )
+    print(f"flagship serving artifact: {args.sessions} sessions, "
+          f"session_emb_dim={cfg.session_emb_dim}, asin_num={cfg.asin_num}, "
+          f"regime={args.regime}", flush=True)
+    tok = get_tokenizer(cfg.vocab_size)
+    if args.regime == "adversarial":
+        gen = AdversarialSessionGenerator(asin_num=cfg.asin_num, seed=0)
+    else:
+        gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=0)
+
+    t0 = time.perf_counter()
+    data = gen.dataset(args.sessions)
+    test_data = gen.dataset(args.queries)
+    t_gen = time.perf_counter() - t0
+    print(f"generate: {t_gen:.1f}s", flush=True)
+
+    # --- 1. train the flagship encoder (subsession objective) briefly
+    t0 = time.perf_counter()
+    bs = min(cfg.batch_size, args.train_sessions)
+    train_loader = SessionGraphLoader(
+        data[: args.train_sessions], tok, cfg.dims, bs, seed=0,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = to_device(next(iter(train_loader)))
+    model, state = create_session_state(cfg, rng, sample, mode="subsession",
+                                        encoder_kind="flagship")
+    step = make_session_train_step(model)
+    m, steps = {}, 0
+    while steps < args.train_steps:
+        for b in train_loader:
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, to_device(b), sub)
+            steps += 1
+            if steps >= args.train_steps:
+                break
+    jax.block_until_ready(state.params)
+    t_train = time.perf_counter() - t0
+    print(f"train {steps} steps: {t_train:.1f}s, "
+          f"loss {float(m['loss']):.3f}", flush=True)
+
+    # --- 2. catalog title cache + bf16 serving params
+    params = serving_params(state.params)
+    enc_mod = build_graph_encoder(cfg)
+    enc_vars = {"params": params["encoder"]}
+    t0 = time.perf_counter()
+    table = build_title_table(cfg, tok, gen.titles, enc_mod, enc_vars,
+                              batch_size=args.embed_batch)
+    t_table = time.perf_counter() - t0
+    print(f"title table [{table.shape[0]} x {table.shape[1]}]: "
+          f"{t_table:.1f}s", flush=True)
+    encode = make_cached_encode_fn(enc_mod, enc_vars, table)
+    pipe = EmbeddingPipeline(cfg, tok, encode, batch_size=args.embed_batch)
+
+    # --- 3. embed the corpus (compile split from steady state)
+    corpus_sessions = [d[0] for d in data]
+    t0 = time.perf_counter()
+    pipe(data[: args.embed_batch])
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ce = pipe([(s, []) for s in corpus_sessions])
+    t_embed = time.perf_counter() - t0
+    qe = pipe(test_data)
+    embed_rate = args.sessions / t_embed
+    print(f"embed {args.sessions}: {t_embed:.1f}s ({embed_rate:.0f}/s; "
+          f"+{t_compile:.1f}s compile)", flush=True)
+
+    # --- 4. the serving corpus in every production storage form
+    N, D = ce.shape
+    cn = np.asarray(
+        l2_normalize(jnp.asarray(ce, jnp.float32)), np.float32
+    )
+    qn = np.asarray(
+        l2_normalize(jnp.asarray(qe, jnp.float32)), np.float32
+    )
+    corpus = jnp.asarray(cn, jnp.bfloat16)
+    queries = jnp.asarray(qn, jnp.bfloat16)
+    c8, c_scales = _quantize_rows_int8(jnp.asarray(cn))
+    q8, q_scales = _quantize_rows_int8(jnp.asarray(qn))
+    c_signs = jnp.asarray(simhash_codes(cn, args.bits), jnp.bfloat16)
+    q_signs = jnp.asarray(simhash_codes(qn, args.bits), jnp.bfloat16)
+    jax.block_until_ready((corpus, queries, c8, q8, c_signs, q_signs))
+
+    K = args.k
+    chunk = N
+    oracle_n = min(N, 65536)
+    oracle_q = min(args.queries, 64)
+    sub, subq = cn[:oracle_n], qn[:oracle_q]
+
+    def chain_f(q, out):
+        return q + (out[0][:, :1] > 1e30).astype(q.dtype)
+
+    modes = {}
+
+    def run_mode(name, fn, q0, idx_fn=None, rel_tol=0.0):
+        dt, out = _timed(fn, q0, args.iters, chain_f)
+        I = np.asarray(out[1])
+        vr = None
+        if idx_fn is not None:
+            vi = np.asarray(idx_fn())
+            vr = value_recall_at_k(vi, subq, sub, 10, rel_tol=rel_tol)
+        modes[name] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "qps": round(args.queries / dt, 0),
+            "value_recall10": None if vr is None else round(vr, 4),
+        }
+        # ground-truth quality on the full corpus retrieval
+        nq = args.quality_queries
+        score = get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                              "all_product_type_score")
+        modes[name]["ave_type_score10"] = round(score, 4)
+        print(f"{name:>18}: {dt*1e3:7.1f} ms  {args.queries/dt:9,.0f} qps  "
+              f"vr10={'--' if vr is None else f'{vr:.4f}'}  "
+              f"type@10={score:.4f}", flush=True)
+        return I
+
+    bf16 = jnp.bfloat16
+    run_mode(
+        "exact_bf16",
+        lambda q: chunked_topk(q, corpus, K, chunk_size=chunk, mode="exact",
+                               score_dtype=bf16),
+        queries,
+        idx_fn=lambda: chunked_topk(
+            jnp.asarray(subq, bf16), corpus[:oracle_n], 10,
+            chunk_size=oracle_n, score_dtype=bf16)[1],
+        rel_tol=2 * 2.0**-8,
+    )
+    run_mode(
+        "exact_cert_bf16",
+        lambda q: chunked_topk(q, corpus, K, chunk_size=chunk,
+                               mode="exact_cert", score_dtype=bf16),
+        queries,
+        idx_fn=lambda: chunked_topk(
+            jnp.asarray(subq, bf16), corpus[:oracle_n], 10,
+            chunk_size=oracle_n, mode="exact_cert", score_dtype=bf16)[1],
+        rel_tol=2 * 2.0**-8,
+    )
+    run_mode(
+        "int8x8_exact",
+        lambda q: chunked_topk(q, c8, K, chunk_size=chunk, mode="exact",
+                               score_dtype=bf16, corpus_scales=c_scales,
+                               query_scales=q_scales),
+        q8,
+        idx_fn=lambda: chunked_topk(
+            q8[:oracle_q], c8[:oracle_n], 10, chunk_size=oracle_n,
+            score_dtype=bf16, corpus_scales=c_scales[:oracle_n],
+            query_scales=q_scales[:oracle_q])[1],
+        rel_tol=4 / 127,
+    )
+    run_mode(
+        "int8x8_cert",
+        lambda q: chunked_topk(q, c8, K, chunk_size=chunk, mode="exact_cert",
+                               score_dtype=bf16, corpus_scales=c_scales,
+                               query_scales=q_scales),
+        q8,
+        idx_fn=lambda: chunked_topk(
+            q8[:oracle_q], c8[:oracle_n], 10, chunk_size=oracle_n,
+            mode="exact_cert", score_dtype=bf16,
+            corpus_scales=c_scales[:oracle_n],
+            query_scales=q_scales[:oracle_q])[1],
+        rel_tol=4 / 127,
+    )
+    run_mode(
+        "int8x8_approx",
+        lambda q: chunked_topk(q, c8, K, chunk_size=chunk, mode="approx",
+                               recall_target=0.95, score_dtype=bf16,
+                               corpus_scales=c_scales,
+                               query_scales=q_scales),
+        q8,
+        idx_fn=lambda: chunked_topk(
+            q8[:oracle_q], c8[:oracle_n], 10, chunk_size=oracle_n,
+            mode="approx", recall_target=0.95, score_dtype=bf16,
+            corpus_scales=c_scales[:oracle_n],
+            query_scales=q_scales[:oracle_q])[1],
+        rel_tol=4 / 127,
+    )
+
+    def chain_b(q, out):
+        return jnp.where(out[0][:, :1] < -1, -q, q)  # never flips
+
+    dt, out = _timed(
+        lambda q: sign_topk(q, c_signs, K, n_bits=args.bits),
+        q_signs, args.iters, chain_b,
+    )
+    I = np.asarray(out[1])
+    nq = args.quality_queries
+    modes["binary_sign"] = {
+        "ms_per_batch": round(dt * 1e3, 1),
+        "qps": round(args.queries / dt, 0),
+        "value_recall10": None,
+        "ave_type_score10": round(
+            get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                          "all_product_type_score"), 4),
+    }
+    print(f"{'binary_sign':>18}: {dt*1e3:7.1f} ms  "
+          f"{args.queries/dt:9,.0f} qps  vr10=--  "
+          f"type@10={modes['binary_sign']['ave_type_score10']:.4f}",
+          flush=True)
+    dt, out = _timed(
+        lambda q: sign_topk(q, c_signs, K, n_bits=args.bits, mode="approx"),
+        q_signs, args.iters, chain_b,
+    )
+    I = np.asarray(out[1])
+    modes["binary_approx"] = {
+        "ms_per_batch": round(dt * 1e3, 1),
+        "qps": round(args.queries / dt, 0),
+        "value_recall10": None,
+        "ave_type_score10": round(
+            get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                          "all_product_type_score"), 4),
+    }
+    print(f"{'binary_approx':>18}: {dt*1e3:7.1f} ms  "
+          f"{args.queries/dt:9,.0f} qps  vr10=--  "
+          f"type@10={modes['binary_approx']['ave_type_score10']:.4f}",
+          flush=True)
+
+    result = {
+        "sessions": N,
+        "dim": D,
+        "asin_num": cfg.asin_num,
+        "regime": args.regime,
+        "k": K,
+        "query_batch": args.queries,
+        "gen_s": round(t_gen, 1),
+        "train_steps": steps,
+        "train_s": round(t_train, 1),
+        "title_table_s": round(t_table, 1),
+        "embed_s": round(t_embed, 1),
+        "embed_sessions_per_s": round(embed_rate, 0),
+        "modes": modes,
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,10 @@ from sessionsimilaritysearch_tpu.models.embedding import (
     NodeAsinEmbedding,
     NodeTextTransformer,
 )
-from sessionsimilaritysearch_tpu.models.encoder import GraphLevelEncoder
+from sessionsimilaritysearch_tpu.models.encoder import (
+    GraphLevelEncoder,
+    build_graph_encoder,
+)
 from sessionsimilaritysearch_tpu.models.gnn import HeteroSAGE
 from sessionsimilaritysearch_tpu.models.heads import MLP, TransformerDecoderHead
 from sessionsimilaritysearch_tpu.models.pooling import GraphPooling
@@ -71,10 +74,19 @@ class SessionEmbeddingModel(nn.Module):
     cfg: Config
     mode: str = "subsession"  # 'subsession' | 'session'
     query_loss_style: str = "autoregressive"  # or 'mlm_electra'
+    # 'scratch' = NodeTextTransformer/HeteroSAGE (the reference subsession
+    # trainer's shape, train_subsession_embedding.py:405-417); 'flagship' =
+    # build_graph_encoder (TextEncoder backbone + HeteroGGNN + SRGNN
+    # pooling, 2*gnn_nout output) -- the production serving encoder, which
+    # also supports the catalog title-embedding cache
+    encoder_kind: str = "scratch"
 
     def setup(self):
         cfg = self.cfg
-        self.encoder = _build_scratch_encoder(cfg)
+        self.encoder = (
+            build_graph_encoder(cfg) if self.encoder_kind == "flagship"
+            else _build_scratch_encoder(cfg)
+        )
         emb_dim = 2 * cfg.gnn_pooling_out
         self.next_product_head = MLP(
             cfg.emb_len, cfg.ph_nhid, cfg.ph_nlayers, cfg.ph_dropout,
@@ -102,6 +114,13 @@ class SessionEmbeddingModel(nn.Module):
                 name="electra_decoder",
             )
         self.memory_proj = nn.Dense(cfg.emb_len, name="memory_proj")
+        if self.encoder_kind == "flagship":
+            # the flagship text backbone's token table is
+            # [vocab, text_encoder_dim]; the tied-logit query decoder works
+            # at emb_len -- bridge with a learned projection
+            self.token_table_proj = nn.Dense(
+                cfg.emb_len, name="token_table_proj"
+            )
 
     def encode(self, graph: SessionGraph, deterministic: bool = True):
         return self.encoder(graph, deterministic=deterministic)
@@ -152,9 +171,15 @@ class SessionEmbeddingModel(nn.Module):
 
         # query generation over the graph-embedding memory
         y, y_mask = self._query_target(graph)
-        token_table = self.encoder.query_node_embedder.variables["params"][
-            "embedding"
-        ]["embedding"]
+        qvars = self.encoder.query_node_embedder.variables["params"]
+        # scratch NodeTextTransformer names its table 'embedding'; the
+        # flagship TextEncoder backbone names it 'tok_emb'
+        token_table = (
+            qvars["tok_emb"]["embedding"] if "tok_emb" in qvars
+            else qvars["embedding"]["embedding"]
+        )
+        if self.encoder_kind == "flagship":
+            token_table = self.token_table_proj(token_table)
         memory = self.memory_proj(embedding)[:, None, :]
         if self.query_loss_style == "mlm_electra":
             # MLM stage: decode masked target, logits tied to the token
@@ -312,8 +337,9 @@ def make_joint_train_step(model):
     return step
 
 
-def create_session_state(cfg: Config, rng, sample_graph, mode="subsession"):
-    model = SessionEmbeddingModel(cfg, mode=mode)
+def create_session_state(cfg: Config, rng, sample_graph, mode="subsession",
+                         encoder_kind="scratch"):
+    model = SessionEmbeddingModel(cfg, mode=mode, encoder_kind=encoder_kind)
     tx = adam_with_clip(cfg.lr, cfg.grad_clip_norm, cfg.weight_decay)
     state = create_train_state(
         model, rng, (sample_graph, rng), tx, init_kwargs={"deterministic": True}

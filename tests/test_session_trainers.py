@@ -131,3 +131,47 @@ class TestAugmentations:
         assert len(s4) == len(seq)
         s5, _ = random_perturb_product((seq, tar), rng, 100)
         assert len(s5) == len(seq)
+
+
+class TestFlagshipEncoderKind:
+    """encoder_kind='flagship' trains the production GraphLevelEncoder
+    (TextEncoder backbone + HeteroGGNN + SRGNN pooling) inside the
+    subsession trainer, so the SERVED encoder is the trained one and the
+    catalog title cache applies (examples/flagship_serving.py)."""
+
+    def test_train_encode_and_title_cache(self, batches, gen, tokenizer):
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            build_title_table,
+            make_cached_encode_fn,
+        )
+        from sessionsimilaritysearch_tpu.models.encoder import (
+            build_graph_encoder,
+        )
+
+        cfg, _, sub = batches
+        rng = jax.random.PRNGKey(0)
+        model, state = create_session_state(
+            cfg, rng, sub, mode="subsession", encoder_kind="flagship"
+        )
+        step = make_session_train_step(model)
+        l0 = None
+        for i in range(3):
+            rng, k = jax.random.split(rng)
+            state, m = step(state, sub, k)
+            l0 = l0 if l0 is not None else float(m["loss"])
+        assert np.isfinite(float(m["loss"]))
+        # encode shape is the flagship 2*gnn_nout session embedding
+        emb = model.apply(
+            {"params": state.params}, sub, method="encode"
+        )
+        assert emb.shape == (sub.product_asin.shape[0], cfg.session_emb_dim)
+        # trained encoder params drive the standalone encoder + title cache
+        enc = build_graph_encoder(cfg)
+        enc_vars = {"params": state.params["encoder"]}
+        table = build_title_table(cfg, tokenizer, gen.titles, enc, enc_vars,
+                                  batch_size=64)
+        cached = make_cached_encode_fn(enc, enc_vars, table)
+        plain = enc.apply(enc_vars, sub)
+        np.testing.assert_allclose(
+            np.asarray(cached(sub)), np.asarray(plain), atol=2e-4
+        )
