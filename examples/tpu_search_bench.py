@@ -227,6 +227,97 @@ def main():
         )
         report("xla_exact_int8", dt, {"value_recall10": round(vr, 4)})
 
+    if "cert" in args.paths:
+        # -- exact-with-certificate: approx bucket selection + bucket-max
+        # certificate, exact fallback only on violation (ops/topk.py
+        # _chunk_topk_cert; VERDICT r2 item 6)
+        from sessionsimilaritysearch_tpu.index.dense import (
+            _quantize_rows_int8,
+        )
+
+        dt = timed(
+            lambda q: chunked_topk(q, corpus, K, chunk_size=N,
+                                   mode="exact_cert",
+                                   score_dtype=jnp.bfloat16),
+            queries, args.iters, chain_d,
+        )
+        vr, sr = vrecall(
+            lambda q, c: chunked_topk(q, c, 10, chunk_size=N,
+                                      mode="exact_cert",
+                                      score_dtype=jnp.bfloat16),
+            args.oracle_n,
+        )
+        report("xla_cert_bf16", dt,
+               {"value_recall10": vr, "set_recall10": sr})
+
+        c8, cs = _quantize_rows_int8(corpus.astype(jnp.float32))
+        q8, qs = _quantize_rows_int8(queries.astype(jnp.float32))
+        jax.block_until_ready((c8, cs, q8, qs))
+        chain_i8 = lambda q, out: q + (out[0][:, :1] > 1e30).astype(q.dtype)
+        for mode, tag in (("exact", "xla_int8x8_exact_ctl"),
+                          ("exact_cert", "xla_cert_int8x8")):
+            dt = timed(
+                lambda q, m=mode: chunked_topk(
+                    q, c8, K, chunk_size=N, mode=m,
+                    score_dtype=jnp.bfloat16, corpus_scales=cs,
+                    query_scales=qs),
+                q8, args.iters, chain_i8,
+            )
+            sub = np.asarray(corpus[: args.oracle_n], np.float32)
+            subq = np.asarray(queries[:256], np.float32)
+            _, i_dev = chunked_topk(
+                q8[:256], c8[: args.oracle_n], 10,
+                chunk_size=args.oracle_n, mode=mode,
+                score_dtype=jnp.bfloat16,
+                corpus_scales=cs[: args.oracle_n], query_scales=qs[:256],
+            )
+            vr = value_recall_at_k(
+                np.asarray(i_dev), subq, sub, 10, rel_tol=4 / 127
+            )
+            report(tag, dt, {"value_recall10": round(vr, 4)})
+
+    if "int8pallas" in args.paths:
+        # -- fused int8 Pallas kernel sweep (matmul + dequant + bucket-max
+        # in VMEM; the int32 product matrix never reaches HBM). VERDICT r2
+        # item 6's second route.
+        from sessionsimilaritysearch_tpu.index.dense import (
+            _quantize_rows_int8,
+        )
+
+        c8, cs = _quantize_rows_int8(corpus.astype(jnp.float32))
+        q8, qs = _quantize_rows_int8(queries.astype(jnp.float32))
+        jax.block_until_ready((c8, cs, q8, qs))
+        chain_i8 = lambda q, out: q + (out[0][:, :1] > 1e30).astype(q.dtype)
+        sub = np.asarray(corpus[: args.oracle_n], np.float32)
+        subq = np.asarray(queries[:256], np.float32)
+        for rpb, bq, bc in ((128, 256, 1024), (128, 256, 2048),
+                            (128, 512, 1024), (64, 256, 1024),
+                            (128, 128, 1024)):
+            try:
+                dt = timed(
+                    lambda q, a=rpb, b=bq, c=bc:
+                        pallas_mips.pallas_exact_topk_int8(
+                            q, c8, K, qs, cs, rows_per_bucket=a,
+                            block_q=b, block_c=c,
+                            score_dtype=jnp.bfloat16, interpret=interp),
+                    q8, args.iters, chain_i8,
+                )
+            except Exception as e:
+                print(f"# int8pallas rpb={rpb} bq={bq} bc={bc} failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
+                continue
+            _, i_dev = pallas_mips.pallas_exact_topk_int8(
+                q8[:256], c8[: args.oracle_n], 10, qs[:256],
+                cs[: args.oracle_n], rows_per_bucket=min(rpb, 64),
+                block_q=256, block_c=1024, score_dtype=jnp.bfloat16,
+                interpret=interp,
+            )
+            vr = value_recall_at_k(
+                np.asarray(i_dev), subq, sub, 10, rel_tol=4 / 127
+            )
+            report(f"pallas_int8_rpb{rpb}_bq{bq}_bc{bc}", dt,
+                   {"value_recall10": round(vr, 4)})
+
     if "binary" in args.paths:
         bits = args.bits
         signs = jnp.where(
