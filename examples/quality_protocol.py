@@ -166,14 +166,37 @@ def run_seed(seed: int, args) -> dict:
         sparse_index.sequence_to_binary_vec(t[0], cfg.asin_num)
         for t in test_data
     ])
-    fused = args.alpha * (qn @ cn.T) + (1 - args.alpha) * np.asarray(
+    dense_sim = qn @ cn.T
+
+    def topk_rows(mat):
+        part = np.argpartition(-mat, k - 1, axis=1)[:, :k]
+        vals = np.take_along_axis(mat, part, axis=1)
+        return np.take_along_axis(
+            part, np.argsort(-vals, axis=1, kind="stable"), axis=1
+        )
+
+    fused = args.alpha * dense_sim + (1 - args.alpha) * np.asarray(
         sc.dot(sq.T)).T
-    part = np.argpartition(-fused, k - 1, axis=1)[:, :k]
-    vals = np.take_along_axis(fused, part, axis=1)
-    I_h = np.take_along_axis(part, np.argsort(-vals, axis=1, kind="stable"),
-                             axis=1)
-    scores["hybrid"] = get_ave_score(I_h, test_data, corpus_sessions,
+    scores["hybrid"] = get_ave_score(topk_rows(fused), test_data,
+                                     corpus_sessions,
                                      "all_product_type_score")
+    # hybrid over the STAN (recency-decayed) overlap instead of binary --
+    # on the overlap-hostile regime STAN is the stronger sparse signal
+    # (recency concentrates on the session's current interest), so fuse
+    # with the best sparse system rather than the weakest
+    sc_stan = sparse_index.build_sparse_corpus(corpus_sessions,
+                                               cfg.asin_num, kind="stan")
+    sq_stan = np.stack([
+        sparse_index.sequence_to_stan_vec(t[0], cfg.asin_num)
+        for t in test_data
+    ])
+    # both sides are L2-normalized, so the fusion mixes two cosines on the
+    # same scale (exactly like the binary hybrid)
+    stan_sim = np.asarray(sc_stan.dot(sq_stan.T)).T
+    fused2 = args.alpha * dense_sim + (1 - args.alpha) * stan_sim
+    scores["hybrid_stan"] = get_ave_score(topk_rows(fused2), test_data,
+                                          corpus_sessions,
+                                          "all_product_type_score")
     print(
         f"seed {seed}: "
         + "  ".join(f"{n}={v:.4f}" for n, v in scores.items())

@@ -39,6 +39,24 @@ def _overlap_cos(a: frozenset, b: frozenset) -> float:
     return len(a & b) / ((len(a) * len(b)) ** 0.5)
 
 
+def _item_stan_weights(sess, lammy: float = 1.04) -> dict:
+    """Per-distinct-item L2-normalized recency weights — STAN semantics
+    (index/sparse.py sequence_to_stan_vec; test_amazon_filterd.py:37-46)
+    without materializing the asin_num-dim vector. The dot of two such
+    dicts over shared keys IS the STAN cosine."""
+    import math
+
+    item_seq = [a for a in sess if a[1] != "s"]
+    L = len(item_seq)
+    acc: dict = {}
+    for i, a in enumerate(item_seq):
+        acc[a[-1]] = acc.get(a[-1], 0.0) + math.exp((i - L) / lammy)
+    norm = math.sqrt(sum(w * w for w in acc.values()))
+    if norm <= 0:
+        return {}
+    return {k: w / norm for k, w in acc.items()}
+
+
 def _session_key(sess) -> tuple:
     """Hashable content digest of a session: (type, asin, text) per action —
     exactly the fields the graph transform reads, so two sessions with equal
@@ -111,6 +129,7 @@ class SessionSearchEngine:
         self._key_to_id: dict = {}
         self._canon_ids: List[int] = []
         self._item_flat: List[int] = []
+        self._item_wstan: List[float] = []  # STAN weight per _item_flat row
         self._item_lens: List[int] = []
         self._meta_cache: Optional[tuple] = None
         if mesh is not None:
@@ -167,19 +186,23 @@ class SessionSearchEngine:
             self.sessions.append(sess)
             key = _session_key(sess)
             items = _item_set(sess)
+            sw = _item_stan_weights(sess)
             self._canon.append(key)
             self._items.append(items)
             self._canon_ids.append(
                 self._key_to_id.setdefault(key, len(self._key_to_id))
             )
-            self._item_flat.extend(items)
-            self._item_lens.append(len(items))  # last: seals the row
+            ids = list(items)
+            self._item_flat.extend(ids)
+            self._item_wstan.extend(sw.get(i, 0.0) for i in ids)
+            self._item_lens.append(len(ids))  # last: seals the row
 
     def _np_meta(self):
         """Consistent numpy snapshot of per-row metadata: (n, canon_ids,
-        item_offsets[n+1], item_flat). Lock-free: ``_item_lens`` is appended
-        last per row (see __init__), so its length bounds a fully-written
-        prefix. Cached until new rows arrive."""
+        item_offsets[n+1], item_flat, item_wstan). Lock-free:
+        ``_item_lens`` is appended last per row (see __init__), so its
+        length bounds a fully-written prefix. Cached until new rows
+        arrive."""
         n = len(self._item_lens)
         cache = self._meta_cache
         if cache is not None and cache[0] == n:
@@ -188,8 +211,11 @@ class SessionSearchEngine:
         off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=off[1:])
         flat = np.asarray(self._item_flat[: int(off[-1])], dtype=np.int64)
+        wstan = np.asarray(
+            self._item_wstan[: int(off[-1])], dtype=np.float64
+        )
         canon = np.asarray(self._canon_ids[:n], dtype=np.int64)
-        self._meta_cache = (n, canon, off, flat)
+        self._meta_cache = (n, canon, off, flat, wstan)
         return self._meta_cache
 
     # ------------------------------------------------------------------
@@ -240,19 +266,26 @@ class SessionSearchEngine:
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None,
                dedup: bool = False, hybrid_alpha: Optional[float] = None,
-               overfetch: int = 4):
+               overfetch: int = 4, hybrid_kind: str = "overlap"):
         """Full query path: sessions -> embed -> exact top-k.
         Returns (D, I). With ``dedup=True``, hits whose stored session
         duplicates an earlier hit's (same actions, e.g. inserted twice by a
         re-played stream) are dropped and backfilled from deeper ranks.
 
         ``hybrid_alpha``: re-rank the dense top-(overfetch*k) candidates by
-        ``alpha * dense_cos + (1 - alpha) * item_overlap_cos`` (the fusion
+        ``alpha * dense_cos + (1 - alpha) * sparse_cos`` (the fusion
         of evalharness.harness.evaluate_hybrid, restricted to the dense
-        candidate set so the overlap term costs O(session length) per
+        candidate set so the sparse term costs O(session length) per
         candidate instead of an asin_num-dim matmul). Raise ``overfetch``
-        to trade latency for fusion fidelity."""
+        to trade latency for fusion fidelity.
+
+        ``hybrid_kind``: the sparse term -- 'overlap' (binary
+        item-indicator cosine, test_amazon_filterd.py:48-57) or 'stan'
+        (recency-decayed STAN cosine, :37-46). On overlap-hostile data the
+        recency weighting is the stronger sparse signal by a wide margin
+        (docs/RESULTS.md round-3 adversarial protocol)."""
         k = k or self.cfg.retrieval_k
+        assert hybrid_kind in ("overlap", "stan")
         if hybrid_alpha is not None and self.index.metric != "cos":
             raise ValueError(
                 "hybrid_alpha fuses a cosine with an overlap cosine; "
@@ -268,27 +301,44 @@ class SessionSearchEngine:
             D2, I2 = self.search_embeddings(emb, m, dedup=dedup)
             D2 = np.asarray(D2, dtype=np.float32)
             gid = np.asarray(I2, dtype=np.int64)
-            q_sets = [
-                _item_set(d[0] if isinstance(d, tuple) and len(d) == 2
-                          else d)
+            sessions = [
+                d[0] if isinstance(d, tuple) and len(d) == 2 else d
                 for d in data
             ]
+            if hybrid_kind == "stan":
+                q_w = [_item_stan_weights(s) for s in sessions]
+            else:
+                q_w = []
+                for s in sessions:
+                    items = _item_set(s)
+                    w = 1.0 / (len(items) ** 0.5) if items else 0.0
+                    q_w.append({i: w for i in items})
             D, I = self._hybrid_rerank(
-                D2, gid, q_sets, k, float(hybrid_alpha)
+                D2, gid, q_w, k, float(hybrid_alpha), hybrid_kind
             )
         self.timer.totals["search"] += time.perf_counter() - t0
         self.timer.counts["search"] += 1
         return D, I
 
-    def _hybrid_rerank(self, D2, gid, q_sets, k: int, alpha: float):
-        """Vectorized fusion re-rank: ``alpha * dense + (1-alpha) * overlap``
+    def _hybrid_rerank(self, D2, gid, q_weights, k: int, alpha: float,
+                       kind: str = "overlap"):
+        """Vectorized fusion re-rank: ``alpha * dense + (1-alpha) * sparse``
         over the [q, m] candidate matrix, one numpy pass for the whole batch
-        (no per-candidate Python; VERDICT r1 item 7). Candidates inserted so
-        recently that their metadata isn't sealed yet (concurrent
-        add_sessions_async) score overlap 0 instead of racing on
-        ``self._items`` (ADVICE r1)."""
+        (no per-candidate Python; VERDICT r1 item 7). ``q_weights`` is one
+        {item: weight} dict per query with L2-normalized weights, so the
+        sparse term is a cosine for both kinds: 'overlap' uses uniform
+        1/sqrt(n) weights (binary-indicator cosine) and 'stan' uses
+        recency-decayed weights. Candidates inserted so recently that their
+        metadata isn't sealed yet (concurrent add_sessions_async) score 0
+        instead of racing on ``self._items`` (ADVICE r1)."""
         q, m = D2.shape
-        n_meta, _, off, flat = self._np_meta()
+        if q_weights and not isinstance(q_weights[0], dict):
+            # item sets -> uniform binary-indicator weights
+            q_weights = [
+                {i: 1.0 / (len(s) ** 0.5) for i in s} if s else {}
+                for s in q_weights
+            ]
+        n_meta, _, off, flat, wstan = self._np_meta()
         present = gid >= 0
         known = present & (gid < n_meta)
         g = np.where(known, gid, 0).ravel()
@@ -298,38 +348,45 @@ class SessionSearchEngine:
         total = int(lens.sum())
         ends = np.cumsum(lens)
         seg0 = ends - lens
-        cand_items = flat[np.arange(total) + np.repeat(starts - seg0, lens)]
+        gather_ix = np.arange(total) + np.repeat(starts - seg0, lens)
+        cand_items = flat[gather_ix]
+        if kind == "stan":
+            cand_w = wstan[gather_ix]
+        else:
+            # binary-indicator weights: 1/sqrt(#items of that candidate)
+            inv = np.zeros(lens.shape, np.float64)
+            np.divide(1.0, np.sqrt(lens.astype(np.float64)), out=inv,
+                      where=lens > 0)
+            cand_w = np.repeat(inv, lens)
         # membership of (query row, item) pairs, encoded as single ints and
         # resolved by binary search in the (small, sorted) query-key set --
         # np.isin would sort the multi-million-candidate stream instead
-        q_lens = np.asarray([len(s) for s in q_sets], dtype=np.int64)
+        q_lens = np.asarray([len(s) for s in q_weights], dtype=np.int64)
         q_items = np.asarray(
-            [i for s in q_sets for i in s], dtype=np.int64
+            [i for s in q_weights for i in s], dtype=np.int64
+        )
+        q_w = np.asarray(
+            [w for s in q_weights for w in s.values()], dtype=np.float64
         )
         big = int(max(flat.max(initial=0), q_items.max(initial=0))) + 1
         qkeys = np.repeat(np.arange(q), q_lens) * big + q_items
-        qkeys.sort()
+        korder = np.argsort(qkeys)
+        qkeys, q_w = qkeys[korder], q_w[korder]
         row_of_cand = np.repeat(
             np.arange(q, dtype=np.int64), lens.reshape(q, m).sum(axis=1)
         )
         ckeys = row_of_cand * big + cand_items
         if qkeys.size:
             p = np.searchsorted(qkeys, ckeys)
-            member = (p < qkeys.size) & (
-                qkeys[np.minimum(p, qkeys.size - 1)] == ckeys
-            )
+            pc = np.minimum(p, qkeys.size - 1)
+            member = (p < qkeys.size) & (qkeys[pc] == ckeys)
+            contrib = np.where(member, cand_w * q_w[pc], 0.0)
         else:
-            member = np.zeros(total, dtype=bool)
-        # per-candidate intersection sizes: segment sums via one cumsum
-        cm = np.zeros(total + 1, dtype=np.int64)
-        np.cumsum(member, out=cm[1:])
-        inter = (cm[ends] - cm[seg0]).reshape(q, m)
-        denom = np.sqrt(
-            lens.reshape(q, m).astype(np.float64) * q_lens[:, None]
-        )
-        ov = np.divide(
-            inter, denom, out=np.zeros((q, m)), where=denom > 0
-        ).astype(np.float32)
+            contrib = np.zeros(total, dtype=np.float64)
+        # per-candidate weighted intersections: segment sums via one cumsum
+        cm = np.zeros(total + 1, dtype=np.float64)
+        np.cumsum(contrib, out=cm[1:])
+        ov = (cm[ends] - cm[seg0]).reshape(q, m).astype(np.float32)
         fused = alpha * D2 + np.float32(1.0 - alpha) * ov
         fused[~present] = -np.inf
         # top-k per row; ties keep the dense rank order (column tiebreak)
@@ -360,7 +417,7 @@ class SessionSearchEngine:
         D2 = np.asarray(D2)
         gid = np.asarray(I2, dtype=np.int64)
         q, m = gid.shape
-        n_meta, canon, _, _ = self._np_meta()
+        n_meta, canon, _, _, _ = self._np_meta()
         valid = gid >= 0
         # canonical id per candidate; rows whose metadata isn't sealed yet
         # (concurrent ingest) fall back to a unique per-gid key, offset past
@@ -454,6 +511,11 @@ class SessionSearchEngine:
                 self._key_to_id.setdefault(key, len(self._key_to_id))
                 for key in self._canon
             ]
-            self._item_flat = [i for s in self._items for i in s]
-            self._item_lens = [len(s) for s in self._items]
+            self._item_flat, self._item_wstan, self._item_lens = [], [], []
+            for sess, items in zip(self.sessions, self._items):
+                sw = _item_stan_weights(sess)
+                ids = list(items)
+                self._item_flat.extend(ids)
+                self._item_wstan.extend(sw.get(i, 0.0) for i in ids)
+                self._item_lens.append(len(ids))
             self._meta_cache = None

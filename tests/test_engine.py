@@ -215,6 +215,7 @@ def _bare_engine(n_rows: int, rng: np.random.Generator, max_items=12,
     eng._key_to_id = {}
     eng._canon_ids = []
     eng._item_flat = []
+    eng._item_wstan = []
     eng._item_lens = []
     eng._meta_cache = None
     eng._items = []
@@ -230,8 +231,11 @@ def _bare_engine(n_rows: int, rng: np.random.Generator, max_items=12,
         eng._canon_ids.append(
             eng._key_to_id.setdefault(key, len(eng._key_to_id))
         )
-        eng._item_flat.extend(items)
-        eng._item_lens.append(len(items))
+        ids = list(items)
+        eng._item_flat.extend(ids)
+        sw = 1.0 / max(len(ids), 1) ** 0.5  # uniform placeholder
+        eng._item_wstan.extend([sw] * len(ids))
+        eng._item_lens.append(len(ids))
     return eng
 
 
@@ -384,3 +388,57 @@ class TestEngineQuantized:
         D2, I2 = eng2.search(data[:4], k=3)
         np.testing.assert_array_equal(I1, I2)
         np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+class TestStanHybrid:
+    """hybrid_kind='stan': recency-decayed sparse term in the fusion
+    re-rank (round 3 -- on overlap-hostile data STAN is the stronger
+    sparse signal, docs/RESULTS.md)."""
+
+    def test_stan_weights_match_sparse_vec(self, gen):
+        from sessionsimilaritysearch_tpu.engine import _item_stan_weights
+        from sessionsimilaritysearch_tpu.index.sparse import (
+            sequence_to_stan_vec,
+        )
+
+        s = gen.session()
+        w = _item_stan_weights(s)
+        vec = sequence_to_stan_vec(s, 1000)
+        for item, wi in w.items():
+            np.testing.assert_allclose(wi, vec[item], rtol=1e-9)
+        # dot of two weight dicts == STAN cosine of the two vectors
+        s2 = gen.session()
+        w2 = _item_stan_weights(s2)
+        dot = sum(wi * w2.get(i, 0.0) for i, wi in w.items())
+        np.testing.assert_allclose(
+            dot, float(vec @ sequence_to_stan_vec(s2, 1000)), rtol=1e-9
+        )
+
+    def test_search_stan_vs_overlap_kinds(self, engine_parts, gen, tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(30)
+        eng.add_sessions(data)
+        # alpha=1: both kinds reduce to pure dense -- identical results
+        Do, Io = eng.search(data[:4], k=5, hybrid_alpha=1.0,
+                            hybrid_kind="overlap")
+        Ds, Is = eng.search(data[:4], k=5, hybrid_alpha=1.0,
+                            hybrid_kind="stan")
+        np.testing.assert_array_equal(Io, Is)
+        # alpha=0, stan: ranking == STAN cosine vs stored sessions
+        from sessionsimilaritysearch_tpu.index.sparse import (
+            sequence_to_stan_vec,
+        )
+
+        D0, I0 = eng.search(data[:1], k=3, hybrid_alpha=0.0,
+                            hybrid_kind="stan", overfetch=30)
+        qv = sequence_to_stan_vec(data[0][0], cfg.asin_num)
+        sims = np.asarray([
+            float(qv @ sequence_to_stan_vec(s, cfg.asin_num))
+            for s in eng.sessions
+        ])
+        top = np.sort(sims)[::-1][:3]
+        np.testing.assert_allclose(np.sort(D0[0])[::-1], top, atol=1e-5)
