@@ -343,10 +343,11 @@ class TestVectorizedQueryPaths:
         Dd, Id = eng._dedup_topk(D2, gid, k)
         dedup_s = time.perf_counter() - t0
         assert I.shape == (q, k) and Id.shape == (q, k)
-        assert hybrid_s < 30 * unit_s, (
+        assert hybrid_s < 60 * unit_s, (  # 60x: calibration vs timed region
+            # can diverge under external host load; Python loops are >100x
             f"hybrid re-rank too slow: {hybrid_s:.2f}s vs unit {unit_s:.3f}s"
         )
-        assert dedup_s < 30 * unit_s, (
+        assert dedup_s < 60 * unit_s, (
             f"dedup too slow: {dedup_s:.2f}s vs unit {unit_s:.3f}s"
         )
 
