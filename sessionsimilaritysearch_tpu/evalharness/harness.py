@@ -15,6 +15,7 @@ Timings separate embed / build / search, like the reference's
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -303,10 +304,11 @@ def build_title_table(
     import jax.numpy as _jnp
 
     fwd = jax.jit(
-        lambda ids, typ, att: encoder.apply(
-            params, ids, typ, att, method="embed_texts"
+        lambda ids, typ, att, p: encoder.apply(
+            p, ids, typ, att, method="embed_texts"
         )
     )
+    fwd = functools.partial(fwd, p=params)  # traced arg, not a constant
     out = []
     n = len(titles)
     for s in range(0, n, batch_size):
@@ -325,13 +327,15 @@ def build_title_table(
 
 
 def make_cached_encode_fn(encoder, params, title_table) -> Callable:
-    """Jitted ``graph -> [B, d]`` closure-safe encode fn: the table rides as
-    a traced argument (a closure capture would bake the multi-MB table into
-    the program as a constant)."""
+    """Jitted ``graph -> [B, d]`` closure-safe encode fn: the table AND the
+    params ride as traced arguments. A closure capture bakes them into the
+    lowered program as constants — at flagship size (93M params) that
+    blows the tunnel's remote-compile request limit (HTTP 413) and on any
+    backend bloats the executable."""
     jitted = jax.jit(
-        lambda g, tbl: encoder.apply(params, g, title_table=tbl)
+        lambda g, tbl, p: encoder.apply(p, g, title_table=tbl)
     )
-    return lambda g: jitted(g, title_table)
+    return lambda g: jitted(g, title_table, params)
 
 
 def evaluate_hybrid(
