@@ -12,3 +12,7 @@ from sessionsimilaritysearch_tpu.ops.hamming import (  # noqa: F401
     pack_bits_np,
     sign_topk,
 )
+from sessionsimilaritysearch_tpu.ops.projection import (  # noqa: F401
+    PCAProjector,
+    fit_pca,
+)

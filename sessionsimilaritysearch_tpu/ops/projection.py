@@ -1,0 +1,79 @@
+"""Low-rank serving projection (PCA).
+
+Round-3 measurement: trained session encoders at flagship width produce
+embeddings whose covariance spectrum has participation ratio 9-14, with
+>99% of variance in the top 250 of 1600 directions (docs/RESULTS.md).
+A corpus that low-rank can be served from a PCA projection at a fraction
+of the scan cost: top-k over d'=64 costs 25x less matmul/HBM than d=1600
+with near-zero ranking change. This module provides the projector; pair
+it with any index (`DenseIndex(dim=out_dim)`) by projecting corpus rows
+at build time and queries at search time with the SAME fitted projector.
+
+Counterpart capability in the reference: none (FAISS is always fed the
+raw 1600-d embeddings, fine_tune_ours.py:844-849); this is a TPU-era
+optimization unlocked by measuring the spectrum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class PCAProjector(NamedTuple):
+    """Fitted projection: ``project(x) = (x - mean) @ components.T``.
+
+    components: [out_dim, d] orthonormal rows (top right-singular vectors).
+    explained: fraction of total variance captured (diagnostic).
+    """
+
+    mean: np.ndarray
+    components: np.ndarray
+    explained: float
+
+    def __call__(self, emb: np.ndarray, renormalize: bool = True):
+        """Project [n, d] -> [n, out_dim]. ``renormalize`` re-unit-norms
+        rows — the right choice for cosine serving: the projected cosine
+        then equals the cosine of the projected directions, and residual
+        norm lost to the dropped subspace does not bias scores."""
+        x = np.asarray(emb, np.float32) - self.mean
+        y = x @ self.components.T
+        if renormalize:
+            n = np.linalg.norm(y, axis=-1, keepdims=True)
+            y = y / np.clip(n, 1e-12, None)
+        return y.astype(np.float32)
+
+    def save(self, path: str) -> None:
+        np.savez(path, mean=self.mean, components=self.components,
+                 explained=self.explained)
+
+    @classmethod
+    def load(cls, path: str) -> "PCAProjector":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        return cls(z["mean"], z["components"], float(z["explained"]))
+
+
+def fit_pca(
+    emb: np.ndarray, out_dim: int, sample: int = 65536, seed: int = 0
+) -> PCAProjector:
+    """Fit a PCA projector on (a sample of) the corpus embeddings.
+
+    ``out_dim`` should comfortably exceed the measured participation
+    ratio; the returned ``explained`` fraction is the guardrail — gate
+    deployment on it (e.g. require > 0.99) plus a value_recall_at_k
+    check against the full-dim oracle.
+    """
+    emb = np.asarray(emb, np.float32)
+    n, d = emb.shape
+    assert 0 < out_dim <= d, (out_dim, d)
+    if n > sample:
+        idx = np.random.default_rng(seed).choice(n, sample, replace=False)
+        emb = emb[idx]
+    mean = emb.mean(axis=0)
+    x = (emb - mean).astype(np.float32)
+    # economy SVD on the sample: components = top right-singular vectors
+    _, s, vt = np.linalg.svd(x, full_matrices=False)
+    var = s.astype(np.float64) ** 2
+    explained = float(var[:out_dim].sum() / max(var.sum(), 1e-30))
+    return PCAProjector(mean, vt[:out_dim].copy(), explained)

@@ -710,3 +710,41 @@ class TestExactCert:
         D, I = idx.search(q, 8)
         ov, oi = oracle_topk_np(q, rows, 8)
         np.testing.assert_allclose(D, ov, rtol=1e-4, atol=1e-5)
+
+
+class TestPCAProjection:
+    """Low-rank serving projection (round 3): on a low-effective-rank
+    corpus (the measured regime for trained encoders, docs/RESULTS.md),
+    PCA to a width above the effective rank preserves exact retrieval."""
+
+    def test_low_rank_corpus_exact_retrieval(self, rng):
+        from sessionsimilaritysearch_tpu.ops.projection import (
+            PCAProjector, fit_pca,
+        )
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        # rank-12 cloud embedded in 256 dims + small isotropic noise
+        basis = rng.standard_normal((12, 256))
+        z = rng.standard_normal((3000, 12)) @ basis
+        z += 0.01 * rng.standard_normal(z.shape)
+        z = z / np.linalg.norm(z, axis=1, keepdims=True)
+        proj = fit_pca(z, 32)
+        assert proj.explained > 0.99
+        cp, qp = proj(z), proj(z[:40])
+        idx = build_index(cp, metric="cos")
+        _, I = idx.search(qp, 10)
+        vr = value_recall_at_k(I, z[:40], z, 10, rel_tol=1e-3)
+        assert vr > 0.99
+        # save/load round trip preserves the projection bit-exactly
+        import tempfile, os
+        p = os.path.join(tempfile.mkdtemp(), "proj")
+        proj.save(p)
+        loaded = PCAProjector.load(p)
+        np.testing.assert_array_equal(loaded(z[:5]), proj(z[:5]))
+
+    def test_full_rank_corpus_flags_low_explained(self, rng):
+        from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+
+        z = rng.standard_normal((2000, 256)).astype(np.float32)
+        proj = fit_pca(z, 32)
+        assert proj.explained < 0.5  # the deployment guardrail fires
