@@ -279,6 +279,48 @@ def main():
         rel_tol=4 / 127,
     )
 
+    # --- PCA low-rank serving (round 3: trained-encoder spectra have
+    # participation ratio 9-14, so a 64-d projection preserves the cosine
+    # geometry; ops/projection.py). Exactness is NOT assumed: the
+    # explained-variance guardrail + value-recall vs the FULL-dim oracle
+    # are reported alongside the speed.
+    from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+
+    pca_dim = min(64, D)
+    proj = fit_pca(cn, pca_dim)
+    cp = jnp.asarray(proj(cn), jnp.bfloat16)
+    qp = jnp.asarray(proj(qn), jnp.bfloat16)
+    jax.block_until_ready((cp, qp))
+    dt, out = _timed(
+        lambda q: chunked_topk(q, cp, K, chunk_size=chunk, mode="exact",
+                               score_dtype=bf16),
+        qp, args.iters, chain_f,
+    )
+    I = np.asarray(out[1])
+    # value recall vs the FULL-dimensional oracle: does 64-d serving
+    # return rows as good as 1600-d exact search would?
+    _, i_sub = chunked_topk(
+        qp[:oracle_q], cp[:oracle_n], 10, chunk_size=oracle_n,
+        score_dtype=bf16,
+    )
+    vr = value_recall_at_k(np.asarray(i_sub), subq, sub, 10,
+                           rel_tol=2 * 2.0**-8)
+    nq = args.quality_queries
+    modes[f"pca{pca_dim}_exact"] = {
+        "ms_per_batch": round(dt * 1e3, 1),
+        "qps": round(args.queries / dt, 0),
+        "value_recall10_vs_fulldim": round(vr, 4),
+        "explained_variance": round(proj.explained, 4),
+        "ave_type_score10": round(
+            get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                          "all_product_type_score"), 4),
+    }
+    print(f"{f'pca{pca_dim}_exact':>18}: {dt*1e3:7.1f} ms  "
+          f"{args.queries/dt:9,.0f} qps  vr10(full-d)={vr:.4f}  "
+          f"explained={proj.explained:.4f}  "
+          f"type@10={modes[f'pca{pca_dim}_exact']['ave_type_score10']:.4f}",
+          flush=True)
+
     def chain_b(q, out):
         return jnp.where(out[0][:, :1] < -1, -q, q)  # never flips
 
