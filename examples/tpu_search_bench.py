@@ -318,6 +318,77 @@ def main():
             report(f"pallas_int8_rpb{rpb}_bq{bq}_bc{bc}", dt,
                    {"value_recall10": round(vr, 4)})
 
+    if "twostage" in args.paths:
+        # -- two-stage serving (index/twostage.py): cheap stage-1 prefilter
+        # over the whole corpus nominates `pool` candidates per query,
+        # stage 2 (ops.topk.rerank_topk) gathers only those rows at full
+        # dimension and ranks them exactly. Quality column: containment of
+        # the device-exact f32 top-10 in the final top-10, measured at the
+        # FULL corpus size (pool recall is what two-stage quality is).
+        from sessionsimilaritysearch_tpu.ops.topk import rerank_topk
+
+        bits = 256  # bf16-lossless sign-scan width (ops/hamming.py)
+        Rb = jax.random.normal(
+            jax.random.PRNGKey(7), (D, bits), jnp.float32
+        ).astype(jnp.bfloat16)
+        signs = jnp.where(
+            jnp.dot(corpus, Rb, preferred_element_type=jnp.float32) >= 0,
+            1.0, -1.0,
+        ).astype(jnp.bfloat16)
+        jax.block_until_ready(signs)
+        ref_v, ref_i = chunked_topk(
+            queries, corpus, 10, chunk_size=N, score_dtype=jnp.float32
+        )
+        ref_i = np.asarray(ref_i)
+
+        def containment(I):
+            I = np.asarray(I)[:, :10]
+            hits = sum(
+                len(set(f.tolist()) & set(t.tolist()))
+                for f, t in zip(I, ref_i)
+            )
+            return round(hits / ref_i.size, 4)
+
+        for pool in (128, 256, 512, 1024):
+            def ts_bin(q, p=pool):
+                qs = jnp.where(
+                    jnp.dot(q, Rb, preferred_element_type=jnp.float32) >= 0,
+                    1.0, -1.0,
+                ).astype(jnp.bfloat16)
+                _, cand = hamming.sign_topk(
+                    qs, signs, p, n_bits=bits, mode="approx",
+                    recall_target=0.95,
+                )
+                return rerank_topk(q, corpus, cand, K,
+                                   score_dtype=jnp.bfloat16)
+
+            dt = timed(ts_bin, queries, args.iters, chain_d)
+            _, I = ts_bin(queries)
+            report(f"twostage_bin{bits}_pool{pool}", dt,
+                   {"exact_top10_containment": containment(I)})
+
+        from sessionsimilaritysearch_tpu.index.dense import (
+            _quantize_rows_int8,
+        )
+
+        c8, cs = _quantize_rows_int8(corpus.astype(jnp.float32))
+        jax.block_until_ready((c8, cs))
+        for pool in (128, 256, 512):
+            def ts_i8(q, p=pool):
+                q8, qs = _quantize_rows_int8(q.astype(jnp.float32))
+                _, cand = chunked_topk(
+                    q8, c8, p, chunk_size=N, mode="approx",
+                    recall_target=0.95, score_dtype=jnp.bfloat16,
+                    corpus_scales=cs, query_scales=qs,
+                )
+                return rerank_topk(q, corpus, cand, K,
+                                   score_dtype=jnp.bfloat16)
+
+            dt = timed(ts_i8, queries, args.iters, chain_d)
+            _, I = ts_i8(queries)
+            report(f"twostage_int8x8_pool{pool}", dt,
+                   {"exact_top10_containment": containment(I)})
+
     if "binary" in args.paths:
         bits = args.bits
         signs = jnp.where(

@@ -84,6 +84,12 @@ class SessionSearchEngine:
         (2-4x capacity/chip; 'int8x8' also runs the scan on the MXU int
         path, +26% QPS measured). Same-tolerance retrieval quality gates
         as the raw indexes (docs/RESULTS.md).
+      prefilter: None | 'binary' | 'int8x8' | 'pca' -- two-stage serving
+        (index.twostage.TwoStageIndex): a cheap stage-1 scan over codes
+        nominates ``pool`` candidates per query and only those rows are
+        ranked exactly at full dimension. Exact final ranking over the
+        pool; single-chip only (pass mesh=None).
+      pool: stage-1 candidates per query (two-stage mode).
     """
 
     def __init__(
@@ -98,6 +104,8 @@ class SessionSearchEngine:
         batch_size: int = 256,
         mode: str = "exact",
         quantize=None,
+        prefilter: Optional[str] = None,
+        pool: int = 512,
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -137,6 +145,10 @@ class SessionSearchEngine:
                 ShardedDenseIndex,
             )
 
+            assert prefilter is None, (
+                "two-stage serving is single-chip; shard with quantize/"
+                "mode instead or open an issue for sharded two-stage"
+            )
             ndev = mesh.shape["data"]
             capacity = -(-capacity // ndev) * ndev
             self.index = ShardedDenseIndex(
@@ -144,6 +156,19 @@ class SessionSearchEngine:
                 mode=mode, quantize=quantize,
             )
             self._pad_to = ndev
+        elif prefilter is not None:
+            from sessionsimilaritysearch_tpu.index.twostage import (
+                TwoStageIndex,
+            )
+
+            assert quantize is None, (
+                "two-stage mode stores its own code buffers; drop quantize"
+            )
+            self.index = TwoStageIndex(
+                dim=dim, capacity=capacity, metric=metric,
+                prefilter=prefilter, pool=pool,
+            )
+            self._pad_to = 1
         else:
             self.index = DenseIndex(
                 dim=dim, capacity=capacity, metric=metric, quantize=quantize
@@ -492,9 +517,17 @@ class SessionSearchEngine:
             # the snapshot carries the full serving configuration
             # (mode/score_dtype/chunk_size/quantize) -- restore it verbatim
             # rather than re-imposing this engine's construction defaults
+            from sessionsimilaritysearch_tpu.index.twostage import (
+                TwoStageIndex,
+            )
+
             if isinstance(self.index, ShardedDenseIndex):
                 self.index = ShardedDenseIndex.load(
                     prefix + ".index", mesh=self.index.mesh
+                )
+            elif isinstance(self.index, TwoStageIndex):
+                self.index = TwoStageIndex.load(
+                    prefix + ".index", capacity=self.index.capacity
                 )
             else:
                 self.index = DenseIndex.load(

@@ -1,2 +1,3 @@
 from sessionsimilaritysearch_tpu.index.dense import DenseIndex, build_index  # noqa: F401
 from sessionsimilaritysearch_tpu.index.binary import BinaryIndex  # noqa: F401
+from sessionsimilaritysearch_tpu.index.twostage import TwoStageIndex  # noqa: F401

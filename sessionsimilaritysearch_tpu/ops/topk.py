@@ -333,6 +333,112 @@ def chunked_topk(
     return vals, idx
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "score_dtype", "q_chunk"),
+)
+def rerank_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    cand_idx: jnp.ndarray,
+    k: int,
+    metric: str = "ip",
+    score_dtype=jnp.float32,
+    corpus_scales: Optional[jnp.ndarray] = None,
+    q_chunk: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact re-scoring of per-query candidate pools (two-stage serving).
+
+    Stage 2 of the prefilter + re-rank architecture: a cheap stage-1 scan
+    (binary Hamming, int8 approx, or a PCA low-rank scan) nominates
+    ``pool`` candidate rows per query; this op gathers ONLY those rows
+    from the full-precision corpus and ranks them exactly. The final
+    ranking is exact over the pool, so end-to-end quality is governed
+    purely by stage-1 pool recall — at pool sizes of a few hundred the
+    prefilter misses essentially nothing while the full-dim work drops
+    from O(n) rows to O(pool) rows per query.
+
+    The reference has no counterpart (FAISS flat scans are always
+    single-stage, test_amazon_filterd.py:207-223); this is the TPU-era
+    answer to its exact-search latency.
+
+    Args:
+      queries: [q, d] (pre-normalized for cosine).
+      corpus: [n, d] full-precision rows (or int8 codes with
+        ``corpus_scales``).
+      cand_idx: [q, pool] int32 stage-1 candidates; -1 marks missing
+        slots (masked to -inf / idx -1 in the output).
+      k: final retrieval depth (k <= pool).
+      metric: 'ip' | 'cos' (caller normalizes) | 'l2'.
+      score_dtype: score dtype of the re-rank (f32 = strictly exact;
+        bf16 matches the exact_bf16 scan's tie semantics).
+      corpus_scales: [n] per-row dequant scales for an int8 corpus.
+      q_chunk: queries per scan step — bounds the gathered candidate
+        tile to [q_chunk, pool, d] so HBM stays flat in q.
+
+    Returns:
+      (values [q, k] descending f32, indices [q, k]; missing slots are
+      (-inf, -1)), same conventions as :func:`chunked_topk`.
+    """
+    q, d = queries.shape
+    pool = cand_idx.shape[1]
+    kk = min(k, pool)
+    q_chunk = min(q_chunk, max(q, 1))
+    n_tiles = -(-q // q_chunk)
+    q_pad = n_tiles * q_chunk
+    if q_pad != q:
+        queries = jnp.pad(queries, ((0, q_pad - q), (0, 0)))
+        cand_idx = jnp.pad(
+            cand_idx, ((0, q_pad - q), (0, 0)), constant_values=-1
+        )
+    q_tiles = queries.reshape(n_tiles, q_chunk, d)
+    c_tiles = cand_idx.reshape(n_tiles, q_chunk, pool)
+
+    if metric == "l2":
+        assert corpus_scales is None, (
+            "int8 re-rank supports 'ip'/'cos' only"
+        )
+
+    def step(_, inp):
+        q_t, c_t = inp
+        safe = jnp.maximum(c_t, 0)
+        rows = jnp.take(corpus, safe, axis=0)  # [qc, pool, d]
+        if corpus_scales is not None:
+            rows = rows.astype(jnp.float32) * jnp.take(
+                corpus_scales, safe, axis=0
+            )[..., None]
+        if metric == "l2":
+            qq = jnp.sum(q_t * q_t, axis=-1, keepdims=True)
+            cc = jnp.sum(
+                rows.astype(jnp.float32) * rows.astype(jnp.float32), axis=-1
+            )
+            qc = jnp.einsum(
+                "qd,qpd->qp", q_t, rows.astype(q_t.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            scores = (2.0 * qc - qq - cc).astype(score_dtype)
+        else:
+            scores = jnp.einsum(
+                "qd,qpd->qp", q_t, rows.astype(q_t.dtype),
+                preferred_element_type=score_dtype,
+            ).astype(score_dtype)
+        scores = jnp.where(c_t >= 0, scores, -jnp.inf)
+        vals, pos = jax.lax.top_k(scores, kk)
+        idx = jnp.take_along_axis(c_t, pos, axis=-1)
+        vals = vals.astype(jnp.float32)
+        idx = jnp.where(jnp.isfinite(vals), idx, -1)
+        return None, (vals, idx)
+
+    _, (vals, idx) = jax.lax.scan(step, None, (q_tiles, c_tiles))
+    vals = vals.reshape(q_pad, kk)[:q]
+    idx = idx.reshape(q_pad, kk)[:q]
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
+                       constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, idx
+
+
 def oracle_topk_np(
     queries: np.ndarray, corpus: np.ndarray, k: int, metric: str = "ip"
 ) -> Tuple[np.ndarray, np.ndarray]:

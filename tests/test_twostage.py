@@ -1,0 +1,245 @@
+"""Two-stage serving tests: rerank_topk exactness-over-pool, TwoStageIndex
+prefilter modes, streaming no-retrace contract, persistence, engine wiring."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sessionsimilaritysearch_tpu.index import DenseIndex, TwoStageIndex
+from sessionsimilaritysearch_tpu.index.dense import _quantize_rows_int8
+from sessionsimilaritysearch_tpu.ops.hamming import sign_topk
+from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+from sessionsimilaritysearch_tpu.ops.topk import (
+    chunked_topk,
+    l2_normalize,
+    oracle_topk_np,
+    rerank_topk,
+    value_recall_at_k,
+)
+
+BF16_TOL = 2 * 2.0**-8
+
+
+@pytest.fixture(scope="module")
+def data():
+    r = np.random.default_rng(7)
+    corpus = r.standard_normal((1000, 64)).astype(np.float32)
+    queries = r.standard_normal((17, 64)).astype(np.float32)
+    return queries, corpus
+
+
+class TestRerankTopk:
+    def test_exact_when_pool_contains_truth(self, data):
+        q, c = data
+        ov, oi = oracle_topk_np(q, c, 10)
+        # pool = oracle top-10 + 22 distinct distractors, shuffled (stage-1
+        # top-k candidates are always unique, so pools carry no duplicates)
+        r = np.random.default_rng(1)
+        cand = np.stack([
+            r.permutation(
+                np.concatenate([
+                    row,
+                    np.setdiff1d(r.permutation(c.shape[0])[:40], row)[:22],
+                ])
+            )
+            for row in oi
+        ]).astype(np.int32)
+        vals, idx = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                                jnp.asarray(cand), 10)
+        np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-5,
+                                   atol=1e-5)
+        assert value_recall_at_k(np.asarray(idx), q, c, 10) == 1.0
+
+    def test_masks_missing_slots(self, data):
+        q, c = data
+        _, oi = oracle_topk_np(q, c, 5)
+        cand = np.full((q.shape[0], 12), -1, np.int32)
+        cand[:, :5] = oi
+        vals, idx = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                                jnp.asarray(cand), 8)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        assert np.all(np.isfinite(vals[:, :5]))
+        assert np.all(idx[:, 5:] == -1) and np.all(np.isneginf(vals[:, 5:]))
+
+    def test_k_exceeds_pool_pads(self, data):
+        q, c = data
+        _, oi = oracle_topk_np(q, c, 4)
+        vals, idx = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                                jnp.asarray(oi.astype(np.int32)), 6)
+        assert idx.shape == (q.shape[0], 6)
+        assert np.all(np.asarray(idx)[:, 4:] == -1)
+
+    def test_q_chunk_tiling_transparent(self, data):
+        q, c = data
+        _, oi = oracle_topk_np(q, c, 10)
+        a = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                        jnp.asarray(oi.astype(np.int32)), 10, q_chunk=4)
+        b = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                        jnp.asarray(oi.astype(np.int32)), 10, q_chunk=128)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_int8_corpus_scales(self, data):
+        q, c = data
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        codes, scales = _quantize_rows_int8(jnp.asarray(cn))
+        _, oi = oracle_topk_np(qn, cn, 10)
+        r = np.random.default_rng(2)
+        cand = np.concatenate(
+            [oi, r.integers(0, c.shape[0], size=(q.shape[0], 22))], axis=1
+        ).astype(np.int32)
+        _, idx = rerank_topk(jnp.asarray(qn), codes, jnp.asarray(cand), 10,
+                             corpus_scales=scales)
+        assert value_recall_at_k(np.asarray(idx), qn, cn, 10,
+                                 rel_tol=4 / 127) == 1.0
+
+    def test_l2_metric(self, data):
+        q, c = data
+        ov, oi = oracle_topk_np(q, c, 5, metric="l2")
+        r = np.random.default_rng(3)
+        cand = np.concatenate(
+            [oi, r.integers(0, c.shape[0], size=(q.shape[0], 11))], axis=1
+        ).astype(np.int32)
+        _, idx = rerank_topk(jnp.asarray(q), jnp.asarray(c),
+                             jnp.asarray(cand), 5, metric="l2")
+        assert value_recall_at_k(np.asarray(idx), q, c, 5,
+                                 metric="l2", rel_tol=1e-6) == 1.0
+
+
+class TestTwoStageIndex:
+    @pytest.mark.parametrize("prefilter", ["binary", "int8x8", "pca"])
+    def test_full_pool_recovers_exact(self, data, prefilter):
+        """pool == corpus size makes stage 1 irrelevant: the result must be
+        the full-dim exact ranking (at bf16 storage precision)."""
+        q, c = data
+        projector = fit_pca(
+            np.asarray(l2_normalize(jnp.asarray(c))), 32
+        ) if prefilter == "pca" else None
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter=prefilter,
+                            n_bits=64, projector=projector)
+        idx.add(c)
+        D, I = idx.search(q, 10, pool=1000)
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=BF16_TOL) == 1.0
+
+    def test_default_pool_quality(self, data):
+        """At the default pool the prefilter governs recall; clustered
+        signals this size should retrieve essentially the exact set."""
+        q, c = data
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter="binary",
+                            n_bits=128)
+        idx.add(c)
+        D, I = idx.search(q, 10)  # pool=512 over 1000 rows
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=BF16_TOL) >= 0.9
+
+    def test_values_descend_and_selfmatch(self, data):
+        _, c = data
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter="binary",
+                            n_bits=128)
+        idx.add(c)
+        D, I = idx.search(c[:8], 5, pool=256)
+        assert np.all(np.diff(D, axis=1) <= 1e-6)
+        np.testing.assert_array_equal(I[:, 0], np.arange(8))  # self top-1
+
+    def test_streaming_insert_no_retrace(self, rng):
+        idx = TwoStageIndex(dim=32, capacity=2048, prefilter="binary",
+                            n_bits=64, pool=64)
+        rows = rng.standard_normal((1200, 32)).astype(np.float32)
+        q = rows[:8]
+        idx.add(rows[:100])
+        idx.search(q, 5)
+        before = (sign_topk._cache_size(), rerank_topk._cache_size())
+        for lo in range(100, 1200, 100):
+            idx.add(rows[lo:lo + 100])
+            D, I = idx.search(q, 5)
+            assert I.max() < lo + 100
+        assert (sign_topk._cache_size(),
+                rerank_topk._cache_size()) == before
+        np.testing.assert_array_equal(I[:, 0], np.arange(8))
+
+    def test_int8x8_streaming_no_retrace(self, rng):
+        idx = TwoStageIndex(dim=32, capacity=2048, prefilter="int8x8",
+                            pool=64)
+        rows = rng.standard_normal((600, 32)).astype(np.float32)
+        q = rows[:8]
+        idx.add(rows[:200])
+        idx.search(q, 5)
+        before = (chunked_topk._cache_size(), rerank_topk._cache_size())
+        for lo in range(200, 600, 200):
+            idx.add(rows[lo:lo + 200])
+            D, I = idx.search(q, 5)
+        assert (chunked_topk._cache_size(),
+                rerank_topk._cache_size()) == before
+        np.testing.assert_array_equal(I[:, 0], np.arange(8))
+
+    def test_capacity_overflow_raises(self, rng):
+        idx = TwoStageIndex(dim=16, capacity=10, prefilter="binary")
+        with pytest.raises(ValueError, match="full"):
+            idx.add(rng.standard_normal((11, 16)).astype(np.float32))
+
+    @pytest.mark.parametrize("prefilter", ["binary", "int8x8", "pca"])
+    def test_save_load_roundtrip(self, data, tmp_path, prefilter):
+        q, c = data
+        projector = fit_pca(
+            np.asarray(l2_normalize(jnp.asarray(c))), 32
+        ) if prefilter == "pca" else None
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter=prefilter,
+                            n_bits=64, pool=300, projector=projector)
+        idx.add(c)
+        D1, I1 = idx.search(q, 10)
+        path = str(tmp_path / f"ts_{prefilter}")
+        idx.save(path)
+        idx2 = TwoStageIndex.load(path)
+        assert (idx2.prefilter, idx2.pool, idx2.size) == (prefilter, 300,
+                                                          1000)
+        D2, I2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+
+class TestEngineTwoStage:
+    def test_engine_prefilter_mode(self, gen, tokenizer):
+        import jax
+
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.engine import SessionSearchEngine
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        cfg = tiny_test_config()
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ] * 8)
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, prefilter="binary", pool=64,
+        )
+        assert isinstance(eng.index, TwoStageIndex)
+        data = gen.dataset(20)
+        eng.add_sessions(data)
+        D, I = eng.search(data[:5], k=3)
+        np.testing.assert_array_equal(I[:, 0], np.arange(5))  # self top-1
+        # snapshot round-trips the two-stage configuration
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as td:
+            eng.save(os.path.join(td, "snap"))
+            eng2 = SessionSearchEngine(
+                cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+                batch_size=8, prefilter="binary", pool=64,
+            )
+            eng2.restore(os.path.join(td, "snap"))
+            D2, I2 = eng2.search(data[:5], k=3)
+            np.testing.assert_array_equal(I, I2)
