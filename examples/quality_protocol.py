@@ -175,8 +175,8 @@ def run_seed(seed: int, args) -> dict:
             part, np.argsort(-vals, axis=1, kind="stable"), axis=1
         )
 
-    fused = args.alpha * dense_sim + (1 - args.alpha) * np.asarray(
-        sc.dot(sq.T)).T
+    bin_sim = np.asarray(sc.dot(sq.T)).T
+    fused = args.alpha * dense_sim + (1 - args.alpha) * bin_sim
     scores["hybrid"] = get_ave_score(topk_rows(fused), test_data,
                                      corpus_sessions,
                                      "all_product_type_score")
@@ -197,6 +197,16 @@ def run_seed(seed: int, args) -> dict:
     scores["hybrid_stan"] = get_ave_score(topk_rows(fused2), test_data,
                                           corpus_sessions,
                                           "all_product_type_score")
+    # fusion-weight sweep: the similarity matrices are already in memory,
+    # so extra alphas cost one argpartition each (r3 ran a=0.5 only; the
+    # roadmap flagged the unswept alpha as a candidate for closing the
+    # encoder-STAN gap on the adversarial regime)
+    for a in args.alpha_sweep:
+        for tag, sim in (("hybrid", bin_sim), ("hybrid_stan", stan_sim)):
+            f = a * dense_sim + (1 - a) * sim
+            scores[f"{tag}[a={a:g}]"] = get_ave_score(
+                topk_rows(f), test_data, corpus_sessions,
+                "all_product_type_score")
     print(
         f"seed {seed}: "
         + "  ".join(f"{n}={v:.4f}" for n, v in scores.items())
@@ -217,6 +227,9 @@ def main():
     ap.add_argument("--types", type=int, default=25)
     ap.add_argument("--asins", type=int, default=8000)
     ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--alpha-sweep", default="",
+                    help="comma list of extra fusion weights to score "
+                         "(reuses the in-memory similarity matrices)")
     ap.add_argument("--regime", default="clustered",
                     choices=["clustered", "adversarial"],
                     help="'adversarial' = overlap-hostile generator "
@@ -238,6 +251,9 @@ def main():
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    args.alpha_sweep = [
+        float(a) for a in args.alpha_sweep.split(",") if a.strip()
+    ]
 
     all_scores = [run_seed(s, args) for s in range(args.seeds)]
     systems = list(all_scores[0])

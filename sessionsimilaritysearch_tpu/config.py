@@ -66,6 +66,11 @@ class Config:
     gnn_dropout: float = 0.0
     gnn_pooling_out: int = 400
     gnn_nlayers: int = 3
+    # product readout of the two-pool flagship encoder: 'srgnn' (reference
+    # model/gnn.py:164-181) or 'recency' (SR-GNN + learned STAN-style
+    # exponential recency stream -- models/pooling.py RecencySRGNNPooling,
+    # built for the overlap-hostile regime where recency is the signal)
+    product_pooling: str = "srgnn"
     # product head
     ph_nhid: int = 400
     ph_nlayers: int = 1

@@ -26,6 +26,7 @@ from sessionsimilaritysearch_tpu.models.pooling import (
     AttentionPooling,
     GraphPooling,
     PositionalAttentionPooling,
+    RecencySRGNNPooling,
     SRGNNPooling,
     masked_mean,
 )
@@ -314,11 +315,15 @@ def build_graph_encoder(cfg: Config) -> GraphLevelEncoder:
     """Two-pool flagship (the 'HGGNN-SrGNNPooling' configuration implied by
     config.py:62): text backbone + asin ids -> HeteroGGNN -> SRGNN product
     pooling + attention query pooling -> 2*gnn_nout embedding."""
+    poolings = {
+        "srgnn": SRGNNPooling,
+        "recency": RecencySRGNNPooling,  # learned STAN-style decay stream
+    }
     return GraphLevelEncoder(
         query_node_embedder=build_text_backbone(cfg),
         product_node_embedder=NodeAsinEmbedding(cfg.asin_num, cfg.emb_len),
         gnn=HeteroGGNN(cfg.gnn_nhid, cfg.gnn_nlayers),
-        product_pooling=SRGNNPooling(cfg.gnn_nout),
+        product_pooling=poolings[cfg.product_pooling](cfg.gnn_nout),
         query_pooling=AttentionPooling(cfg.gnn_nout),
     )
 

@@ -13,6 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def masked_mean(x, mask, axis=1):
@@ -95,6 +96,57 @@ class SRGNNPooling(nn.Module):
         weighted = x * att
         global_rep = masked_sum(weighted, mask)
         rep = jnp.concatenate([local, global_rep], axis=-1)
+        return nn.Dense(self.num_out, name="lin4")(rep)
+
+
+class RecencySRGNNPooling(nn.Module):
+    """SR-GNN readout with a learned STAN-style recency stream.
+
+    Motivation (docs/RESULTS.md, adversarial protocol): on overlap-hostile
+    data the strongest sparse baseline is STAN — exponential recency decay
+    concentrates weight on the session's *current* interest and suppresses
+    interspersed trending noise. The SR-GNN readout (model/gnn.py:164-181)
+    sees order only through the last click; this variant adds the decay
+    as a differentiable readout stream: per-occurrence weights
+    ``exp(-(rev_pos - 1) / lambda)`` over the occurrence stream
+    (data/graph.py occ_*; rev_pos 1 = most recent, the STAN convention of
+    index/sparse.py sequence_to_stan_vec) with a LEARNED decay length
+    ``lambda`` (softplus-parameterized, initialized to STAN's 1.04), a
+    recency-weighted mean of the occurrence node states, and that
+    representation both injected into the attention gate and concatenated
+    into the final projection. With lambda -> inf the recency stream
+    degrades to a count-weighted mean, so the model can learn recency OUT
+    as well as in.
+    """
+
+    num_out: int
+    init_lambda: float = 1.04
+
+    @nn.compact
+    def __call__(self, x, mask, graph, deterministic: bool = True):
+        d = x.shape[-1]
+        local = masked_sum(x, graph.last_click_mask * mask)  # [B, d]
+        # STAN-style decay over occurrences, learnable length scale
+        raw0 = float(np.log(np.expm1(self.init_lambda)))
+        lam = nn.softplus(
+            self.param("raw_lambda", lambda k: jnp.asarray(raw0, jnp.float32))
+        )
+        rev = jnp.clip(graph.occ_pos.astype(jnp.float32) - 1.0, 0.0, None)
+        w = jnp.exp(-rev / lam) * graph.occ_mask  # [B, O]
+        occ_x = jnp.take_along_axis(
+            x, graph.occ_product[..., None], axis=1
+        )  # [B, O, d]
+        denom = jnp.clip(jnp.sum(w, axis=1, keepdims=True), 1e-6, None)
+        rec = jnp.sum(occ_x * w[..., None].astype(x.dtype), axis=1) / (
+            denom.astype(x.dtype)
+        )  # [B, d]
+        # SR-GNN gated attention, recency rep joining the gate
+        a = nn.Dense(d, name="lin1")(local)[:, None, :]
+        r = nn.Dense(d, name="lin_rec")(rec)[:, None, :]
+        b = nn.Dense(d, name="lin2")(x)
+        att = nn.Dense(1, use_bias=False, name="lin3")(nn.sigmoid(a + r + b))
+        global_rep = masked_sum(x * att, mask)
+        rep = jnp.concatenate([local, rec, global_rep], axis=-1)
         return nn.Dense(self.num_out, name="lin4")(rep)
 
 

@@ -200,6 +200,62 @@ class TestPoolings:
         out = pool.apply(params, x, batch.product_node_mask, batch)
         assert out.shape == (4, 5)
 
+    def test_recency_srgnn_pooling(self, batch, rng):
+        from sessionsimilaritysearch_tpu.models.pooling import (
+            RecencySRGNNPooling,
+        )
+
+        P = batch.product_asin.shape[1]
+        x = jnp.asarray(rng.standard_normal((4, P, 8)), jnp.float32)
+        pool = RecencySRGNNPooling(5)
+        params = pool.init(
+            jax.random.PRNGKey(0), x, batch.product_node_mask, batch
+        )
+        out = pool.apply(params, x, batch.product_node_mask, batch)
+        assert out.shape == (4, 5)
+        assert np.isfinite(np.asarray(out)).all()
+        # the decay length is a trainable scalar with a finite gradient
+        def loss(p):
+            return jnp.sum(pool.apply(p, x, batch.product_node_mask, batch))
+
+        g = jax.grad(loss)(params)
+        lam_g = float(g["params"]["raw_lambda"])
+        assert np.isfinite(lam_g)
+        # padded occurrence slots must not influence the result: corrupt a
+        # node only reachable through masked occ rows via a masked product
+        dead = np.where(np.asarray(batch.product_node_mask[0]) == 0)[0]
+        if dead.size:
+            x2 = x.at[0, int(dead[0])].set(1e3)
+            np.testing.assert_allclose(
+                np.asarray(pool.apply(params, x2,
+                                      batch.product_node_mask, batch))[0],
+                np.asarray(out)[0], atol=1e-4,
+            )
+
+    def test_recency_pooling_weights_track_lambda(self, batch, rng):
+        """Small lambda concentrates the recency stream on the most recent
+        occurrence: shrinking raw_lambda must move the rep toward the
+        last-occurrence product state."""
+        from sessionsimilaritysearch_tpu.models.pooling import (
+            RecencySRGNNPooling,
+        )
+
+        P = batch.product_asin.shape[1]
+        x = jnp.asarray(rng.standard_normal((4, P, 8)), jnp.float32)
+        pool = RecencySRGNNPooling(5, init_lambda=0.05)
+        params = pool.init(
+            jax.random.PRNGKey(0), x, batch.product_node_mask, batch
+        )
+        # with a tiny decay length, weights collapse onto rev_pos == min
+        occ_pos = np.asarray(batch.occ_pos[0])
+        occ_mask = np.asarray(batch.occ_mask[0])
+        valid = occ_mask > 0
+        assert valid.any()
+        rev = np.where(valid, occ_pos, 10**6)
+        j = int(np.argmin(rev))
+        w = np.exp(-(np.clip(occ_pos - 1.0, 0, None)) / 0.05) * occ_mask
+        assert w.argmax() == j  # sanity of the construction
+
     def test_positional_attention_pooling(self, batch, cfg, rng):
         Q = batch.query_input_ids.shape[1]
         P = batch.product_asin.shape[1]
@@ -321,6 +377,15 @@ class TestEncoders:
         out = enc.apply(params, batch)
         assert out.shape == (4, cfg.session_emb_dim)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_graph_level_encoder_recency_pooling(self, cfg, batch):
+        enc = build_graph_encoder(cfg.replace(product_pooling="recency"))
+        params = enc.init(jax.random.PRNGKey(0), batch)
+        out = enc.apply(params, batch)
+        assert out.shape == (4, cfg.session_emb_dim)
+        assert np.isfinite(np.asarray(out)).all()
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        assert any("raw_lambda" in str(p) for p, _ in flat)
 
     def test_graph_level_encoder_jits(self, cfg, batch):
         enc = build_graph_encoder(cfg)
