@@ -106,37 +106,85 @@ def run_seed(seed: int, args) -> dict:
     train_data = corpus_data[: args.train]
     corpus_sessions = [d[0] for d in corpus_data]
 
+    if args.pooling != "srgnn":
+        cfg = cfg.replace(product_pooling=args.pooling)
     tok = get_tokenizer(cfg.vocab_size)
-    base = SessionGraphLoader(train_data, tok, cfg.dims, cfg.batch_size,
-                              seed=seed, prefetch=4)
-    loader = ContrastiveViewLoader(base, random_exchange_order, seed=seed + 1)
     rng = jax.random.PRNGKey(seed)
-    b0, _ = next(iter(loader))
-    sample = jax.tree.map(jnp.asarray, b0)
-    model = PretrainModel(cfg)
-    state = create_train_state(
-        model, rng, (sample, rng), adam_with_clip(cfg.lr),
-        init_kwargs={"view_graph": sample, "deterministic": True},
-    )
-    step = make_train_step(model, has_view=True)
-    encode = make_encode_fn(model)
-    t_setup = time.time() - t0
+    if args.encoder == "flagship":
+        # the production two-pool encoder (build_graph_encoder) under the
+        # subsession objective — the serving configuration of
+        # examples/flagship_serving.py, protocol-grade here so pooling
+        # variants (Config.product_pooling) get error bars
+        from sessionsimilaritysearch_tpu.training.session_trainers import (
+            create_session_state,
+            make_session_train_step,
+        )
 
-    t0 = time.time()
-    m = {}
-    for _ in range(args.epochs):
-        for b, v in loader:
-            rng, sub = jax.random.split(rng)
-            state, m = step(state, jax.tree.map(jnp.asarray, b), sub,
-                            jax.tree.map(jnp.asarray, v))
-    t_train = time.time() - t0
+        loader = SessionGraphLoader(train_data, tok, cfg.dims,
+                                    cfg.batch_size, seed=seed, prefetch=4)
+        b0 = next(iter(loader))
+        sample = jax.tree.map(jnp.asarray, b0)
+        model, state = create_session_state(
+            cfg, rng, sample, mode="subsession", encoder_kind="flagship"
+        )
+        step = make_session_train_step(model)
+        t_setup = time.time() - t0
+
+        t0 = time.time()
+        m = {}
+        for _ in range(args.epochs):
+            for b in loader:
+                rng, sub = jax.random.split(rng)
+                state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+        t_train = time.time() - t0
+
+        from sessionsimilaritysearch_tpu.models.encoder import (
+            build_graph_encoder,
+        )
+        from sessionsimilaritysearch_tpu.utils.precision import (
+            serving_params,
+        )
+
+        enc_mod = build_graph_encoder(cfg)
+        enc_vars = {"params": serving_params(state.params)["encoder"]}
+        enc_apply = jax.jit(lambda g: enc_mod.apply(enc_vars, g))
+
+        def encode_batch(b):
+            return enc_apply(jax.tree.map(jnp.asarray, b))
+    else:
+        base = SessionGraphLoader(train_data, tok, cfg.dims, cfg.batch_size,
+                                  seed=seed, prefetch=4)
+        loader = ContrastiveViewLoader(base, random_exchange_order,
+                                       seed=seed + 1)
+        b0, _ = next(iter(loader))
+        sample = jax.tree.map(jnp.asarray, b0)
+        model = PretrainModel(cfg)
+        state = create_train_state(
+            model, rng, (sample, rng), adam_with_clip(cfg.lr),
+            init_kwargs={"view_graph": sample, "deterministic": True},
+        )
+        step = make_train_step(model, has_view=True)
+        encode = make_encode_fn(model)
+        t_setup = time.time() - t0
+
+        t0 = time.time()
+        m = {}
+        for _ in range(args.epochs):
+            for b, v in loader:
+                rng, sub = jax.random.split(rng)
+                state, m = step(state, jax.tree.map(jnp.asarray, b), sub,
+                                jax.tree.map(jnp.asarray, v))
+        t_train = time.time() - t0
+
+        def encode_batch(b):
+            return encode(state, jax.tree.map(jnp.asarray, b))
 
     def embed_all(data):
         out = []
         ld = SessionGraphLoader(data, tok, cfg.dims, cfg.batch_size,
                                 shuffle=False, prefetch=2, cache=False)
         for b in ld:
-            out.append(np.asarray(encode(state, jax.tree.map(jnp.asarray, b))))
+            out.append(np.asarray(encode_batch(b)))
         return np.concatenate(out)[: len(data)]
 
     t0 = time.time()
@@ -227,6 +275,16 @@ def main():
     ap.add_argument("--types", type=int, default=25)
     ap.add_argument("--asins", type=int, default=8000)
     ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--encoder", default="pretrain",
+                    choices=["pretrain", "flagship"],
+                    help="'flagship' trains the production two-pool "
+                         "encoder under the subsession objective instead "
+                         "of the pretrain (UnifyPooling) model")
+    ap.add_argument("--pooling", default="srgnn",
+                    choices=["srgnn", "recency"],
+                    help="flagship product readout "
+                         "(Config.product_pooling); 'recency' adds the "
+                         "learned STAN-style decay stream")
     ap.add_argument("--alpha-sweep", default="",
                     help="comma list of extra fusion weights to score "
                          "(reuses the in-memory similarity matrices)")
