@@ -90,6 +90,9 @@ class SessionSearchEngine:
         ranked exactly at full dimension. Exact final ranking over the
         pool; single-chip only (pass mesh=None).
       pool: stage-1 candidates per query (two-stage mode).
+      projector: fitted ``ops.projection.PCAProjector`` for
+        ``prefilter='pca'`` (fit offline with ``fit_pca`` on a corpus
+        sample; ``index.twostage.build_twostage_index`` shows the recipe).
     """
 
     def __init__(
@@ -106,6 +109,7 @@ class SessionSearchEngine:
         quantize=None,
         prefilter: Optional[str] = None,
         pool: int = 512,
+        projector=None,
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -166,7 +170,7 @@ class SessionSearchEngine:
             )
             self.index = TwoStageIndex(
                 dim=dim, capacity=capacity, metric=metric,
-                prefilter=prefilter, pool=pool,
+                prefilter=prefilter, pool=pool, projector=projector,
             )
             self._pad_to = 1
         else:

@@ -288,3 +288,32 @@ class TwoStageIndex:
                 )
             idx.size = n
         return idx
+
+
+def build_twostage_index(
+    emb,
+    prefilter: str = "binary",
+    pca_dim: int = 64,
+    metric: str = "cos",
+    **kw,
+) -> TwoStageIndex:
+    """One-shot construction from a full corpus (the two-stage counterpart
+    of ``index.dense.build_index``). For ``prefilter='pca'`` the projector
+    is fitted from the corpus itself (cos-normalized rows when
+    ``metric='cos'``, matching what gets indexed)."""
+    emb = np.asarray(emb, np.float32)
+    projector = None
+    if prefilter == "pca":
+        from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+
+        rows = (
+            np.asarray(topk_ops.l2_normalize(jnp.asarray(emb)))
+            if metric == "cos" else emb
+        )
+        projector = fit_pca(rows, min(pca_dim, emb.shape[1]))
+    idx = TwoStageIndex(
+        dim=emb.shape[1], capacity=emb.shape[0], metric=metric,
+        prefilter=prefilter, projector=projector, **kw,
+    )
+    idx.add(emb)
+    return idx

@@ -181,6 +181,23 @@ class TestTwoStageIndex:
         with pytest.raises(ValueError, match="full"):
             idx.add(rng.standard_normal((11, 16)).astype(np.float32))
 
+    @pytest.mark.parametrize("prefilter", ["binary", "pca"])
+    def test_build_twostage_index(self, data, prefilter):
+        """One-shot builder fits the PCA projector itself and indexes the
+        whole corpus; full-pool search matches the exact ranking."""
+        from sessionsimilaritysearch_tpu.index import build_twostage_index
+
+        q, c = data
+        idx = build_twostage_index(c, prefilter=prefilter, pca_dim=32,
+                                   n_bits=64)
+        assert idx.size == c.shape[0]
+        if prefilter == "pca":
+            assert idx._proj_comp.shape == (32, 64)
+        _, I = idx.search(q, 10, pool=1000)
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=BF16_TOL) == 1.0
+
     @pytest.mark.parametrize("prefilter", ["binary", "int8x8", "pca"])
     def test_save_load_roundtrip(self, data, tmp_path, prefilter):
         q, c = data
@@ -243,3 +260,39 @@ class TestEngineTwoStage:
             eng2.restore(os.path.join(td, "snap"))
             D2, I2 = eng2.search(data[:5], k=3)
             np.testing.assert_array_equal(I, I2)
+
+    def test_engine_pca_projector_passthrough(self, gen, tokenizer, rng):
+        """prefilter='pca' reaches the index with the caller's fitted
+        projector (engine.py pass-through)."""
+        import jax
+
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.engine import SessionSearchEngine
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        cfg = tiny_test_config()
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ] * 8)
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        proj = fit_pca(
+            rng.standard_normal((256, cfg.n_out)).astype(np.float32), 8
+        )
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, prefilter="pca", pool=64, projector=proj,
+        )
+        assert eng.index.prefilter == "pca"
+        assert eng.index._proj_comp.shape == (8, cfg.n_out)
+        data = gen.dataset(16)
+        eng.add_sessions(data)
+        D, I = eng.search(data[:4], k=3)
+        np.testing.assert_array_equal(I[:, 0], np.arange(4))  # self top-1
