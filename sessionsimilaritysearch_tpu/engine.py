@@ -149,16 +149,30 @@ class SessionSearchEngine:
                 ShardedDenseIndex,
             )
 
-            assert prefilter is None, (
-                "two-stage serving is single-chip; shard with quantize/"
-                "mode instead or open an issue for sharded two-stage"
-            )
             ndev = mesh.shape["data"]
             capacity = -(-capacity // ndev) * ndev
-            self.index = ShardedDenseIndex(
-                dim=dim, capacity=capacity, mesh=mesh, metric=metric,
-                mode=mode, quantize=quantize,
-            )
+            if prefilter is not None:
+                from sessionsimilaritysearch_tpu.index.twostage import (
+                    ShardedTwoStageIndex,
+                )
+
+                assert prefilter == "binary", (
+                    "sharded two-stage serving supports the binary SimHash "
+                    "prefilter; use a single-chip engine for int8x8/pca"
+                )
+                assert quantize is None, (
+                    "two-stage mode stores its own code buffers; drop "
+                    "quantize"
+                )
+                self.index = ShardedTwoStageIndex(
+                    dim=dim, capacity=capacity, mesh=mesh, metric=metric,
+                    pool=pool,
+                )
+            else:
+                self.index = ShardedDenseIndex(
+                    dim=dim, capacity=capacity, mesh=mesh, metric=metric,
+                    mode=mode, quantize=quantize,
+                )
             self._pad_to = ndev
         elif prefilter is not None:
             from sessionsimilaritysearch_tpu.index.twostage import (
@@ -522,10 +536,15 @@ class SessionSearchEngine:
             # (mode/score_dtype/chunk_size/quantize) -- restore it verbatim
             # rather than re-imposing this engine's construction defaults
             from sessionsimilaritysearch_tpu.index.twostage import (
+                ShardedTwoStageIndex,
                 TwoStageIndex,
             )
 
-            if isinstance(self.index, ShardedDenseIndex):
+            if isinstance(self.index, ShardedTwoStageIndex):
+                self.index = ShardedTwoStageIndex.load(
+                    prefix + ".index", mesh=self.index.mesh
+                )
+            elif isinstance(self.index, ShardedDenseIndex):
                 self.index = ShardedDenseIndex.load(
                     prefix + ".index", mesh=self.index.mesh
                 )

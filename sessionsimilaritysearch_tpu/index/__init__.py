@@ -1,6 +1,7 @@
 from sessionsimilaritysearch_tpu.index.dense import DenseIndex, build_index  # noqa: F401
 from sessionsimilaritysearch_tpu.index.binary import BinaryIndex  # noqa: F401
 from sessionsimilaritysearch_tpu.index.twostage import (  # noqa: F401
+    ShardedTwoStageIndex,
     TwoStageIndex,
     build_twostage_index,
 )

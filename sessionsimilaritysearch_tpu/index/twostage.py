@@ -290,6 +290,231 @@ class TwoStageIndex:
         return idx
 
 
+class ShardedTwoStageIndex:
+    """Two-stage serving over a corpus row-sharded across a mesh axis.
+
+    The scale-out form of :class:`TwoStageIndex` (binary SimHash
+    prefilter): full-precision rows AND their sign codes stripe across
+    the mesh's ``axis``, each chip prefilters + exactly re-ranks its own
+    slice, and per-shard [q, k] slivers merge over ICI
+    (``parallel.collectives.sharded_twostage_topk``). Capacity and both
+    scan costs scale linearly with chips; results carry GLOBAL
+    insertion-order ids and match ``DenseIndex`` conventions.
+
+    Streaming contract: fixed-capacity sharded buffers + dynamic
+    per-shard valid counts — interleaved add/search never recompiles.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        capacity: int,
+        mesh,
+        axis: str = "data",
+        metric: str = "cos",
+        n_bits: int = 256,
+        pool: int = 512,
+        store_dtype=jnp.bfloat16,
+        recall_target: float = 0.95,
+        score_dtype=jnp.float32,
+        seed: int = 0,
+    ):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert metric in ("cos", "ip")
+        self.dim = dim
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = mesh.shape[axis]
+        assert capacity % self.ndev == 0, "capacity must divide the mesh axis"
+        self.capacity = capacity
+        self.shard_rows = capacity // self.ndev
+        self.metric = metric
+        self.n_bits = n_bits
+        self.pool = pool
+        self.store_dtype = jnp.dtype(store_dtype)
+        self.recall_target = recall_target
+        self.score_dtype = score_dtype
+        self.seed = seed
+        self.size = 0
+        sh = NamedSharding(mesh, P(axis, None))
+        sh1 = NamedSharding(mesh, P(axis))
+        self._row_sh, self._id_sh = sh, sh1
+        self._buf = jax.device_put(
+            jnp.zeros((capacity, dim), self.store_dtype), sh
+        )
+        self._codes = jax.device_put(
+            -jnp.ones((capacity, n_bits), jnp.bfloat16), sh
+        )
+        self._ids = jax.device_put(
+            jnp.full((capacity,), -1, jnp.int32), sh1
+        )
+        self._write_fn = self._make_write_fn()
+
+    def _make_write_fn(self):
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+
+        def write(buf, codes, ids, rows, row_codes, row_ids, start):
+            s = start[0]
+            return (
+                jax.lax.dynamic_update_slice(buf, rows, (s, 0)),
+                jax.lax.dynamic_update_slice(codes, row_codes, (s, 0)),
+                jax.lax.dynamic_update_slice(ids, row_ids, (s,)),
+            )
+
+        return jax.jit(
+            jax.shard_map(
+                write,
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis),
+                          P(axis, None), P(axis, None), P(axis), P(axis)),
+                out_specs=(P(axis, None), P(axis, None), P(axis)),
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+
+    @property
+    def ntotal(self) -> int:
+        return self.size
+
+    def add(self, emb) -> None:
+        """Append [m, d]; m must divide the mesh axis (pad on the host if
+        needed). Rows keep global insertion-order ids."""
+        emb = jnp.asarray(emb, jnp.float32)
+        m = emb.shape[0]
+        assert m % self.ndev == 0, (
+            f"insert batch {m} not divisible by {self.ndev} shards"
+        )
+        local_fill = self.size // self.ndev
+        if local_fill + m // self.ndev > self.shard_rows:
+            raise ValueError("sharded two-stage index full")
+        if self.metric == "cos":
+            emb = topk_ops.l2_normalize(emb)
+        codes = _simhash_signs(emb, self.n_bits, self.seed)
+        ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
+        start = jax.device_put(
+            jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
+        )
+        self._buf, self._codes, self._ids = self._write_fn(
+            self._buf, self._codes, self._ids,
+            jax.device_put(emb.astype(self.store_dtype), self._row_sh),
+            jax.device_put(codes, self._row_sh),
+            jax.device_put(ids, self._id_sh),
+            start,
+        )
+        self.size += m
+
+    def search(
+        self, queries, k: int, pool: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Global exact-over-pool top-k: (D [q,k] descending, I [q,k]
+        global ids); missing slots are (-inf, -1)."""
+        from sessionsimilaritysearch_tpu.parallel.collectives import (
+            sharded_twostage_topk,
+        )
+
+        pool = pool or self.pool
+        pool = min(max(pool, k), self.shard_rows)
+        queries = jnp.asarray(queries, jnp.float32)
+        nq = queries.shape[0]
+        q_pad = max(8, 1 << (max(nq - 1, 1)).bit_length())
+        if q_pad != nq:
+            queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
+        qn = (
+            topk_ops.l2_normalize(queries)
+            if self.metric == "cos" else queries
+        )
+        q_signs = _simhash_signs(qn, self.n_bits, self.seed)
+        local_fill = self.size // self.ndev
+        valid = jax.device_put(
+            jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
+        )
+        vals, ids = sharded_twostage_topk(
+            qn.astype(self.store_dtype), q_signs, self._buf, self._codes,
+            k, self.mesh, axis=self.axis, shard_ids=self._ids,
+            valid_per_shard=valid, pool=pool,
+            recall_target=self.recall_target,
+            score_dtype=self.score_dtype,
+        )
+        return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
+
+    # --- persistence (serving config travels with the data)
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            buf=np.asarray(self._buf.astype(jnp.float32)),
+            # +-1 sign codes round-trip exactly via f16 (bf16 isn't a
+            # native npz dtype); persisted rather than re-derived so a
+            # restore is bit-identical even though rows are stored bf16
+            codes_f16=np.asarray(self._codes.astype(jnp.float16)),
+            ids=np.asarray(self._ids),
+            size=self.size,
+            dim=self.dim,
+            capacity=self.capacity,
+            ndev=self.ndev,
+            metric=self.metric,
+            n_bits=self.n_bits,
+            pool=self.pool,
+            store_dtype=self.store_dtype.name,
+            recall_target=self.recall_target,
+            score_dtype=jnp.dtype(self.score_dtype).name,
+            seed=self.seed,
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh, **kw) -> "ShardedTwoStageIndex":
+        """Restore on ``mesh`` (re-striping if the shard count changed)."""
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        idx = cls(
+            dim=int(z["dim"]),
+            capacity=int(kw.pop("capacity", int(z["capacity"]))),
+            mesh=mesh,
+            metric=str(z["metric"]),
+            n_bits=int(z["n_bits"]),
+            pool=int(kw.pop("pool", int(z["pool"]))),
+            store_dtype=jnp.dtype(str(z["store_dtype"])),
+            recall_target=float(z["recall_target"]),
+            score_dtype=jnp.dtype(str(z["score_dtype"])),
+            seed=int(z["seed"]),
+            **kw,
+        )
+        size = int(z["size"])
+        if size:
+            if size % idx.ndev != 0:
+                raise ValueError(
+                    f"snapshot holds {size} rows, not divisible across "
+                    f"{idx.ndev} shards"
+                )
+            saved_ndev = int(z["ndev"])
+            old_rows = int(z["capacity"]) // saved_ndev
+            per_old = size // saved_ndev
+            buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
+            cod = np.asarray(z["codes_f16"]).reshape(
+                saved_ndev, old_rows, idx.n_bits
+            )
+            ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
+            flat_buf = buf[:, :per_old].reshape(size, idx.dim)
+            flat_cod = cod[:, :per_old].reshape(size, idx.n_bits)
+            flat_ids = ids[:, :per_old].reshape(size)
+            order = np.argsort(flat_ids)  # restore insertion order
+            rows = jnp.asarray(flat_buf[order], jnp.float32)
+            codes = jnp.asarray(flat_cod[order]).astype(jnp.bfloat16)
+            start = jax.device_put(
+                jnp.zeros((idx.ndev,), jnp.int32), idx._id_sh
+            )
+            idx._buf, idx._codes, idx._ids = idx._write_fn(
+                idx._buf, idx._codes, idx._ids,
+                jax.device_put(rows.astype(idx.store_dtype), idx._row_sh),
+                jax.device_put(codes, idx._row_sh),
+                jax.device_put(jnp.asarray(flat_ids[order]), idx._id_sh),
+                start,
+            )
+            idx.size = size
+        return idx
+
+
 def build_twostage_index(
     emb,
     prefilter: str = "binary",

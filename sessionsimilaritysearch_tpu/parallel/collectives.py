@@ -108,6 +108,104 @@ def sharded_topk(
     return fn(queries, corpus, shard_ids, valid_per_shard, *extra_args)
 
 
+def sharded_twostage_topk(
+    queries: jnp.ndarray,
+    q_signs: jnp.ndarray,
+    corpus: jnp.ndarray,
+    codes: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+    shard_ids: Optional[jnp.ndarray] = None,
+    valid_per_shard: Optional[jnp.ndarray] = None,
+    pool: int = 512,
+    recall_target: float = 0.95,
+    score_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage top-k over a row-sharded corpus: per-shard binary
+    prefilter + per-shard exact full-dim re-rank + cross-shard merge.
+
+    The multi-chip form of ``index.twostage.TwoStageIndex``: each chip
+    scans only its own slice of the sign codes (the cheap stage-1
+    representation), nominates ``pool`` local candidates per query,
+    gathers just those rows from its full-precision shard and ranks them
+    exactly (``ops.topk.rerank_topk``), and the per-shard [q, k] slivers
+    merge by all-gather over ICI — the same O(q * k * ndev) wire cost as
+    :func:`sharded_topk`, but with the heavy local scan running at code
+    width instead of full dimension. The global result is the exact
+    full-dim ranking over the union of the per-shard pools, so quality is
+    governed purely by stage-1 pool recall (raise ``pool`` toward the
+    shard size to force it to 1). The reference's FAISS serving is
+    single-host and single-stage (fine_tune_ours.py:839-849); this is its
+    scale-out TPU replacement.
+
+    Args:
+      queries: [q, d] full-precision queries, replicated (pre-normalized
+        for cosine).
+      q_signs: [q, bits] +-1 bf16 SimHash codes of the SAME queries under
+        the corpus's projection seed, replicated.
+      corpus: [n, d] full-precision rows, row-sharded over ``axis``.
+      codes: [n, bits] +-1 bf16 sign codes of the corpus rows, sharded
+        identically.
+      shard_ids: optional [n] int32 global ids (same sharding); defaults
+        to global row position.
+      valid_per_shard: optional per-shard valid-row counts (ring
+        buffers); defaults to full shards.
+      pool: stage-1 candidates PER SHARD per query (the union across the
+        mesh is the effective global pool).
+      recall_target: stage-1 ``approx_max_k`` recall target.
+      score_dtype: stage-2 re-rank score dtype (f32 = strictly exact).
+
+    Returns replicated (values [q, k] descending, global ids [q, k]);
+    missing slots are (-inf, -1).
+    """
+    from sessionsimilaritysearch_tpu.ops.topk import chunked_topk, rerank_topk
+
+    ndev = mesh.shape[axis]
+    n = corpus.shape[0]
+    assert n % ndev == 0, f"corpus rows {n} not divisible by mesh axis {ndev}"
+    assert codes.shape[0] == n
+    shard_rows = n // ndev
+    local_pool = min(pool, shard_rows)
+
+    def local_search(q, qs, c_local, code_local, ids_local, valid):
+        # stage 1: approx-selected +-1 MXU scan over this shard's codes
+        # (sign dot ordering == ascending Hamming; ops/hamming.py)
+        _, cand = chunked_topk(
+            qs, code_local, local_pool,
+            chunk_size=shard_rows, metric="ip", mode="approx",
+            recall_target=recall_target, score_dtype=jnp.bfloat16,
+            valid_count=valid[0],
+        )
+        # stage 2: exact full-dim re-rank of the local pool
+        vals, idx = rerank_topk(
+            q, c_local, cand, k, metric="ip", score_dtype=score_dtype,
+        )
+        safe = jnp.clip(idx, 0, shard_rows - 1)
+        gids = jnp.where(idx >= 0, ids_local[safe], -1)
+        av = jax.lax.all_gather(vals, axis)
+        ai = jax.lax.all_gather(gids, axis)
+        av = jnp.moveaxis(av, 0, 1).reshape(q.shape[0], -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(q.shape[0], -1)
+        top_vals, top_pos = jax.lax.top_k(av, k)  # -inf slots sort last
+        top_ids = jnp.take_along_axis(ai, top_pos, axis=-1)
+        return top_vals, top_ids
+
+    if shard_ids is None:
+        shard_ids = jnp.arange(n, dtype=jnp.int32)
+    if valid_per_shard is None:
+        valid_per_shard = jnp.full((ndev,), shard_rows, dtype=jnp.int32)
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+    )
+    return fn(queries, q_signs, corpus, codes, shard_ids, valid_per_shard)
+
+
 def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):
     """Place a [n, d] corpus row-sharded over the mesh."""
     return jax.device_put(corpus, NamedSharding(mesh, P(axis, None)))

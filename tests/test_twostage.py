@@ -218,6 +218,117 @@ class TestTwoStageIndex:
         np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
 
 
+class TestShardedTwoStage:
+    """Multi-chip two-stage serving on the 8-device virtual CPU mesh."""
+
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        return create_mesh()
+
+    def test_collective_full_pool_matches_oracle(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.index.twostage import _simhash_signs
+        from sessionsimilaritysearch_tpu.parallel.collectives import (
+            shard_corpus,
+            sharded_twostage_topk,
+        )
+
+        corpus = rng.standard_normal((1024, 48)).astype(np.float32)
+        queries = rng.standard_normal((9, 48)).astype(np.float32)
+        codes = _simhash_signs(jnp.asarray(corpus), 64, 0)
+        vals, ids = sharded_twostage_topk(
+            jnp.asarray(queries, jnp.bfloat16),
+            _simhash_signs(jnp.asarray(queries), 64, 0),
+            shard_corpus(jnp.asarray(corpus, jnp.bfloat16), mesh),
+            shard_corpus(codes, mesh),
+            7, mesh, pool=128,  # pool == shard size: stage 1 can't miss
+        )
+        assert value_recall_at_k(np.asarray(ids), queries, corpus, 7,
+                                 rel_tol=BF16_TOL) == 1.0
+        assert np.all(np.diff(np.asarray(vals), axis=1) <= 1e-6)
+
+    def test_index_streaming_global_ids(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        idx = ShardedTwoStageIndex(dim=32, capacity=1024, mesh=mesh,
+                                   n_bits=64, pool=64)
+        rows = rng.standard_normal((640, 32)).astype(np.float32)
+        idx.add(rows[:320])
+        D, I = idx.search(rows[:8], 5, pool=40)  # self top-1 under cos
+        np.testing.assert_array_equal(I[:, 0], np.arange(8))
+        idx.add(rows[320:])
+        assert idx.ntotal == 640
+        D, I = idx.search(rows[632:640], 5, pool=40)
+        np.testing.assert_array_equal(I[:, 0], np.arange(632, 640))
+
+    def test_index_full_pool_exact(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        corpus = rng.standard_normal((512, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=24, capacity=512, mesh=mesh,
+                                   n_bits=64)
+        idx.add(corpus)
+        _, I = idx.search(q, 6, pool=64)  # 64/shard == whole shard
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
+        assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
+
+    def test_save_load_restripe(self, mesh, tmp_path, rng):
+        import jax as _jax
+
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        corpus = rng.standard_normal((256, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=16, capacity=512, mesh=mesh,
+                                   n_bits=64, pool=48)
+        idx.add(corpus)
+        D1, I1 = idx.search(q, 5)
+        path = str(tmp_path / "sts")
+        idx.save(path)
+        # restore onto a 4-device mesh: rows re-stripe, results identical
+        mesh4 = create_mesh(devices=_jax.devices()[:4])
+        idx2 = ShardedTwoStageIndex.load(path, mesh=mesh4)
+        assert (idx2.ndev, idx2.size, idx2.pool) == (4, 256, 48)
+        D2, I2 = idx2.search(q, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+    def test_engine_sharded_prefilter(self, mesh, gen, tokenizer):
+        import jax as _jax
+
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.engine import SessionSearchEngine
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        cfg = tiny_test_config()
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ] * 8)
+        params = enc.init(_jax.random.PRNGKey(0), sample)
+        encode_fn = _jax.jit(lambda g: enc.apply(params, g))
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, mesh=mesh, prefilter="binary", pool=16,
+        )
+        assert isinstance(eng.index, ShardedTwoStageIndex)
+        data = gen.dataset(24)
+        eng.add_sessions(data)
+        D, I = eng.search(data[:5], k=3)
+        np.testing.assert_array_equal(I[:, 0], np.arange(5))  # self top-1
+
+
 class TestEngineTwoStage:
     def test_engine_prefilter_mode(self, gen, tokenizer):
         import jax
