@@ -360,6 +360,49 @@ def main():
           f"type@10={modes['binary_approx']['ave_type_score10']:.4f}",
           flush=True)
 
+    # --- two-stage serving (index/twostage.py): the binary sign scan only
+    # SHORTLISTS `pool` candidates; the returned ranking is the exact
+    # full-dim one over the pool (ops.topk.rerank_topk, f32 scores). This
+    # is the architectural route past the exact-selection floor: end-to-end
+    # quality is governed by stage-1 pool recall alone.
+    from sessionsimilaritysearch_tpu.ops.topk import rerank_topk
+
+    def chain_ts(qs, out):
+        return jnp.where(out[0][:, :1] > 1e30, -qs, qs)  # never flips
+
+    for pool in (256, 512):
+        def ts_search(qs, p=pool):
+            _, cand = sign_topk(qs, c_signs, p, n_bits=args.bits,
+                                mode="approx", recall_target=0.95)
+            return rerank_topk(queries, corpus, cand, K,
+                               score_dtype=jnp.float32)
+
+        dt, out = _timed(ts_search, q_signs, args.iters, chain_ts)
+        I = np.asarray(out[1])
+        sub_pool = min(pool, oracle_n)
+        _, cand_sub = sign_topk(
+            q_signs[:oracle_q], c_signs[:oracle_n], sub_pool,
+            n_bits=args.bits, mode="approx", recall_target=0.95,
+        )
+        _, i_sub = rerank_topk(
+            jnp.asarray(subq, bf16), corpus[:oracle_n], cand_sub, 10,
+            score_dtype=jnp.float32,
+        )
+        vr = value_recall_at_k(np.asarray(i_sub), subq, sub, 10,
+                               rel_tol=2 * 2.0**-8)
+        name = f"twostage_pool{pool}"
+        modes[name] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "qps": round(args.queries / dt, 0),
+            "value_recall10": round(vr, 4),
+            "ave_type_score10": round(
+                get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                              "all_product_type_score"), 4),
+        }
+        print(f"{name:>18}: {dt*1e3:7.1f} ms  {args.queries/dt:9,.0f} qps  "
+              f"vr10={vr:.4f}  type@10={modes[name]['ave_type_score10']:.4f}",
+              flush=True)
+
     result = {
         "sessions": N,
         "dim": D,
