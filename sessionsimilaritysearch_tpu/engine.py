@@ -93,6 +93,10 @@ class SessionSearchEngine:
       projector: fitted ``ops.projection.PCAProjector`` for
         ``prefilter='pca'`` (fit offline with ``fit_pca`` on a corpus
         sample; ``index.twostage.build_twostage_index`` shows the recipe).
+      center: centered-cosine serving (dense single-chip path): a [dim]
+        mean, or 'auto' to fit from the first ingested batch. The
+        measured fix for cone-collapsed encoder embeddings where raw
+        cosine saturates (docs/RESULTS.md 1M artifact: 7x type@10).
     """
 
     def __init__(
@@ -110,6 +114,7 @@ class SessionSearchEngine:
         prefilter: Optional[str] = None,
         pool: int = 512,
         projector=None,
+        center=None,
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -189,7 +194,8 @@ class SessionSearchEngine:
             self._pad_to = 1
         else:
             self.index = DenseIndex(
-                dim=dim, capacity=capacity, metric=metric, quantize=quantize
+                dim=dim, capacity=capacity, metric=metric,
+                quantize=quantize, center=center,
             )
             self._pad_to = 1
 

@@ -49,6 +49,17 @@ class DenseIndex:
                (reference build_index 'cos', test_amazon_filterd.py:211-214)
       'ip'  -- raw inner product
       'l2'  -- ascending squared L2 distance
+
+    center ('cos' only): rank by CENTERED cosine -- subtract a corpus
+    mean direction from every normalized row/query and re-unit-norm
+    before scoring. Measured motivation (docs/RESULTS.md, 1M flagship
+    artifact): session encoders early in training emit embeddings
+    concentrated in a narrow cone, raw cosine saturates into one giant
+    tie-class, and exact top-k degenerates to arbitrary tie-breaking;
+    removing the common component lifted ground-truth type@10 7x at the
+    1M x 1600 operating point. Pass an explicit [d] mean (fit it on a
+    representative sample), or 'auto' to fit from the first added batch
+    (frozen thereafter -- rows are stored in centered form).
     """
 
     def __init__(
@@ -61,8 +72,12 @@ class DenseIndex:
         mode: str = "exact",
         score_dtype=jnp.float32,
         quantize: Optional[str] = None,
+        center=None,
     ):
         assert metric in ("cos", "ip", "l2")
+        assert center is None or metric == "cos", (
+            "center= is defined for the 'cos' metric only"
+        )
         # 'int8': corpus int8, queries bf16 (capacity: half the HBM of
         # bf16, speed-neutral). 'int8x8': BOTH sides int8 so the scan runs
         # int8 x int8 -> int32 on the MXU's double-rate int path; queries
@@ -88,7 +103,24 @@ class DenseIndex:
         self._scales = (
             jnp.zeros((capacity,), jnp.float32) if quantize else None
         )
+        self.center_mode = (
+            None if center is None
+            else ("auto" if isinstance(center, str) else "fixed")
+        )
+        if self.center_mode == "auto":
+            assert center == "auto", f"unknown center mode {center!r}"
+            self._center = None  # fitted from the first add
+        else:
+            self._center = (
+                None if center is None
+                else jnp.asarray(center, jnp.float32).reshape(dim)
+            )
         self.size = 0
+
+    def _centered(self, emb: jnp.ndarray) -> jnp.ndarray:
+        """Centered-cosine transform of already-unit-norm rows:
+        normalize(x_n - mean)."""
+        return topk_ops.l2_normalize(emb - self._center)
 
     @property
     def ntotal(self) -> int:  # FAISS-compatible name
@@ -107,6 +139,10 @@ class DenseIndex:
             )
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
+            if self.center_mode == "auto" and self._center is None:
+                self._center = jnp.mean(emb, axis=0)
+            if self._center is not None:
+                emb = self._centered(emb)
         if self.quantize:
             emb, scales = _quantize_rows_int8(emb)
             self._scales = jax.lax.dynamic_update_slice(
@@ -133,7 +169,12 @@ class DenseIndex:
         if q_pad != nq:
             queries = jnp.pad(queries, ((0, q_pad - nq), (0, 0)))
         if self.metric == "cos":
-            queries = topk_ops.l2_normalize(queries).astype(qdtype)
+            if self._center is not None:
+                queries = self._centered(
+                    topk_ops.l2_normalize(queries.astype(jnp.float32))
+                ).astype(qdtype)
+            else:
+                queries = topk_ops.l2_normalize(queries).astype(qdtype)
         query_scales = None
         if self.quantize == "int8x8":
             queries, query_scales = _quantize_rows_int8(
@@ -165,6 +206,10 @@ class DenseIndex:
         if self.quantize:
             extra["scales"] = np.asarray(self._scales[: self.size])
             extra["quantize"] = self.quantize
+        if self._center is not None:
+            extra["center"] = np.asarray(self._center, np.float32)
+        if self.center_mode is not None:
+            extra["center_mode"] = self.center_mode
         buf = self._buf[: self.size]
         np.savez(
             path,
@@ -210,6 +255,10 @@ class DenseIndex:
         )
         if "dtype" in z and not quantize:
             kw.setdefault("dtype", jnp.dtype(str(z["dtype"])))
+        if "center" in z:
+            # rows are stored already centered; restore the transform for
+            # queries (and keep the fitted mean frozen under 'auto')
+            kw.setdefault("center", np.asarray(z["center"], np.float32))
         idx = cls(
             dim=int(z["dim"]),
             capacity=capacity or int(z["capacity"]),
@@ -217,6 +266,8 @@ class DenseIndex:
             quantize=quantize,
             **kw,
         )
+        if "center_mode" in z:
+            idx.center_mode = str(z["center_mode"])
         if buf.shape[0]:
             # rows were already normalized on the original add under 'cos'
             # (and quantized in int8 mode -- codes round-trip bit-exactly)
@@ -236,9 +287,12 @@ def build_index(
     metric: str = "cos",
     chunk_size: int = 65536,
     quantize: Optional[str] = None,
+    center=None,
 ) -> DenseIndex:
     """One-shot construction from a full corpus
-    (reference: test_amazon_filterd.py:207-223)."""
+    (reference: test_amazon_filterd.py:207-223). ``center='auto'`` fits
+    the centered-cosine mean from the whole corpus (here the first add IS
+    the corpus, so 'auto' is exact)."""
     emb = np.asarray(emb)
     index = DenseIndex(
         dim=emb.shape[1],
@@ -246,6 +300,7 @@ def build_index(
         metric=metric,
         chunk_size=chunk_size,
         quantize=quantize,
+        center=center,
     )
     index.add(emb)
     return index

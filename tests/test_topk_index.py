@@ -196,6 +196,105 @@ class TestDenseIndex:
         np.testing.assert_allclose(D1, D2, rtol=1e-6)
 
 
+class TestCenteredCosine:
+    """``DenseIndex(center=...)`` — centered-cosine serving, the measured
+    fix for cone-collapsed encoder embeddings whose raw cosine saturates
+    (docs/RESULTS.md, 1M flagship artifact: 7x type@10)."""
+
+    def _cone(self, rng, n=400, d=48, n_types=4, proto_s=0.05, noise_s=0.01):
+        """Collapsed-cone corpus: dominant shared direction, small
+        informative cluster signal, smaller noise. At
+        ``proto_s=0.005`` all pairwise raw cosines land within one bf16
+        score step of 1.0 (the saturation regime the 1M artifact hit)."""
+        common = np.ones((1, d), np.float32) / np.sqrt(d)
+        labels = rng.integers(0, n_types, size=n)
+        proto = rng.standard_normal((n_types, d)).astype(np.float32) * proto_s
+        noise = rng.standard_normal((n, d)).astype(np.float32) * noise_s
+        return (common + proto[labels] + noise).astype(np.float32), labels
+
+    @staticmethod
+    def _centered_np(x, mean=None):
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        mean = xn.mean(axis=0) if mean is None else mean
+        xc = xn - mean
+        return xc / np.linalg.norm(xc, axis=1, keepdims=True), mean
+
+    def test_auto_center_matches_centered_oracle(self, rng):
+        x, _ = self._cone(rng)
+        q = x[:9]
+        idx = build_index(x, center="auto")
+        D, I = idx.search(q, 10)
+        cn, mean = self._centered_np(x)
+        qn, _ = self._centered_np(q, mean)
+        ovals, oidx = oracle_topk_np(qn, cn, 10)
+        assert_topk_equiv(D, I, ovals, oidx, rtol=1e-3, atol=1e-4)
+
+    def test_fixed_center_equals_auto(self, rng):
+        x, _ = self._cone(rng)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        a = build_index(x, center="auto")
+        b = build_index(x, center=xn.mean(axis=0))
+        Da, Ia = a.search(x[:7], 5)
+        Db, Ib = b.search(x[:7], 5)
+        np.testing.assert_array_equal(Ia, Ib)
+        np.testing.assert_allclose(Da, Db, rtol=1e-6)
+
+    def test_centering_recovers_cluster_structure(self, rng):
+        """The index-level replica of the 1M finding. The mechanism needs
+        BOTH ingredients: cone collapse pushes every raw cosine into a
+        band narrower than the production bf16 score resolution (2^-8),
+        so raw-cos top-k degenerates to tie-breaking; centering
+        renormalizes the informative residual to O(1) where bf16
+        resolves it. (In f32 scores raw cos still ranks fine — constant
+        offsets don't cost precision — which is why the artifact only
+        surfaced in the bf16-scored serving modes.)"""
+        x, labels = self._cone(rng, n=600, proto_s=0.005, noise_s=0.001)
+        q, ql = x[:50], labels[:50]
+
+        def purity(I):
+            return float((labels[I[:, 1:6]] == ql[:, None]).mean())
+
+        def served(center):
+            idx = DenseIndex(
+                dim=x.shape[1], capacity=x.shape[0],
+                score_dtype=jnp.bfloat16, center=center,
+            )
+            idx.add(x)
+            return idx.search(q, 6)[1]
+
+        p_raw, p_ctr = purity(served(None)), purity(served("auto"))
+        assert p_ctr >= p_raw + 0.15, (p_raw, p_ctr)
+
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        x, _ = self._cone(rng)
+        idx = build_index(x, center="auto")
+        D1, I1 = idx.search(x[:6], 5)
+        path = str(tmp_path / "ctr")
+        idx.save(path)
+        idx2 = DenseIndex.load(path)
+        assert idx2.center_mode == "auto"
+        assert idx2._center is not None
+        D2, I2 = idx2.search(x[:6], 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-6)
+        # the fitted mean is frozen: further adds must not refit
+        before = np.asarray(idx2._center).copy()
+        idx3 = DenseIndex.load(path, capacity=2 * x.shape[0])
+        idx3.add(rng.standard_normal((8, x.shape[1])).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(idx3._center), before)
+
+    def test_quantize_composes(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import value_recall_at_k
+
+        x, _ = self._cone(rng)
+        q = x[:9]
+        idx = build_index(x, center="auto", quantize="int8x8")
+        _, I = idx.search(q, 10)
+        cn, mean = self._centered_np(x)
+        qn, _ = self._centered_np(q, mean)
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=4 / 127) == 1.0
+
+
 class TestHamming:
     def test_pack_bits_np_vs_device(self, rng):
         signs = rng.choice([-1.0, 1.0], size=(10, 70)).astype(np.float32)
