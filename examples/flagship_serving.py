@@ -34,6 +34,7 @@ from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
 from sessionsimilaritysearch_tpu.data.similarity import get_ave_score
 from sessionsimilaritysearch_tpu.evalharness.harness import (
     EmbeddingPipeline,
+    build_keyword_table,
     build_title_table,
     make_cached_encode_fn,
 )
@@ -153,7 +154,18 @@ def main():
     t_table = time.perf_counter() - t0
     print(f"title table [{table.shape[0]} x {table.shape[1]}]: "
           f"{t_table:.1f}s", flush=True)
-    encode = make_cached_encode_fn(enc_mod, enc_vars, table)
+    # keyword table: with ignore_query the query store is just the padded
+    # root-node grid, but the title-cached forward still ran the text
+    # backbone over all [B, Q, T] padded rows -- the keyword gather removes
+    # the text encoder from the serving forward entirely
+    kws = sorted({a[2] or "" for d in data for a in d[0] if a[1] == "s"})
+    qtable, kw_lookup = build_keyword_table(
+        cfg, tok, kws, enc_mod, enc_vars, batch_size=args.embed_batch
+    )
+    print(f"keyword table [{qtable.shape[0]} x {qtable.shape[1]}]",
+          flush=True)
+    encode = make_cached_encode_fn(enc_mod, enc_vars, table,
+                                   query_table=qtable, kw_lookup=kw_lookup)
     pipe = EmbeddingPipeline(cfg, tok, encode, batch_size=args.embed_batch)
 
     # --- 3. embed the corpus (compile split from steady state)

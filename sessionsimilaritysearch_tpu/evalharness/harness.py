@@ -326,16 +326,99 @@ def build_title_table(
     return _jnp.asarray(np.concatenate(out, axis=0))
 
 
-def make_cached_encode_fn(encoder, params, title_table) -> Callable:
+def build_keyword_table(
+    cfg: Config,
+    tokenizer,
+    keywords: Sequence[str],
+    encoder,
+    params,
+    batch_size: int = 1024,
+) -> Tuple[jnp.ndarray, dict]:
+    """The query-store twin of :func:`build_title_table`: embed each
+    DISTINCT search keyword once and serve query nodes by gather.
+
+    Returns ``(table [n, d_text], lookup)`` where ``lookup`` maps the
+    *padded token row bytes* of a keyword (exactly what
+    ``sequence_to_graph`` writes into ``query_input_ids``,
+    data/graph.py:134-145) to its table row. Keying by token bytes rather
+    than strings means the batch-time lookup needs no access to the raw
+    session — `make_cached_encode_fn` reads ids straight off the host
+    SessionGraph. The root query node's ``""`` keyword is always included
+    (row for it exists even if absent from ``keywords``); all-zero padding
+    rows map to row 0 (their output is masked by ``query_node_mask``)."""
+    import jax.numpy as _jnp
+
+    kws = [""] + [k for k in dict.fromkeys(keywords) if k != ""]
+    table = build_title_table(cfg, tokenizer, kws, encoder, params,
+                              batch_size=batch_size)
+    T = cfg.dims.token_len
+    lookup: dict = {}
+    for s in range(0, len(kws), batch_size):
+        chunk = kws[s : s + batch_size]
+        tok = tokenizer(chunk, max_length=T)
+        ids = np.zeros((len(chunk), T), dtype=np.int32)
+        m = tok["input_ids"].shape[1]
+        ids[:, : min(m, T)] = tok["input_ids"][:, :T]
+        for j in range(len(chunk)):
+            lookup.setdefault(ids[j].tobytes(), s + j)
+    lookup.setdefault(np.zeros(T, dtype=np.int32).tobytes(), 0)
+    return _jnp.asarray(table), lookup
+
+
+def keyword_ids(lookup: dict, query_input_ids: np.ndarray) -> Optional[np.ndarray]:
+    """[B, Q, T] host token grid -> [B, Q] table ids via ``lookup``.
+    Returns None if ANY row is absent (caller should fall back to the
+    uncached query path for that batch).
+
+    Cost is O(distinct rows) Python + one C-speed ``np.unique`` over a
+    void view — an ignore_query corpus batch has exactly two distinct rows
+    (root + padding), so this is microseconds, not B*Q dict lookups."""
+    ids = np.ascontiguousarray(query_input_ids, dtype=np.int32)
+    B, Q, T = ids.shape
+    flat = ids.reshape(B * Q, T)
+    rows = flat.view(np.dtype((np.void, T * 4))).ravel()
+    uniq, inv = np.unique(rows, return_inverse=True)
+    mapped = np.empty(len(uniq), dtype=np.int32)
+    for j, u in enumerate(uniq):
+        v = lookup.get(u.tobytes())
+        if v is None:
+            return None
+        mapped[j] = v
+    return mapped[inv].reshape(B, Q)
+
+
+def make_cached_encode_fn(
+    encoder, params, title_table, query_table=None, kw_lookup=None
+) -> Callable:
     """Jitted ``graph -> [B, d]`` closure-safe encode fn: the table AND the
     params ride as traced arguments. A closure capture bakes them into the
     lowered program as constants — at flagship size (93M params) that
     blows the tunnel's remote-compile request limit (HTTP 413) and on any
-    backend bloats the executable."""
+    backend bloats the executable.
+
+    With ``query_table`` + ``kw_lookup`` (from :func:`build_keyword_table`)
+    the query store is ALSO served by gather — the forward contains no
+    text-encoder FLOPs at all. Batches containing a keyword outside the
+    table fall back to the title-only path (still exact, just slower)."""
     jitted = jax.jit(
         lambda g, tbl, p: encoder.apply(p, g, title_table=tbl)
     )
-    return lambda g: jitted(g, title_table, params)
+    if query_table is None:
+        return lambda g: jitted(g, title_table, params)
+    assert kw_lookup is not None, "query_table requires its kw_lookup"
+    jitted_q = jax.jit(
+        lambda g, tbl, qtbl, kw, p: encoder.apply(
+            p, g, title_table=tbl, query_table=qtbl, query_kw=kw
+        )
+    )
+
+    def fn(g):
+        kw = keyword_ids(kw_lookup, np.asarray(g.query_input_ids))
+        if kw is None:  # out-of-vocabulary keyword: uncached query path
+            return jitted(g, title_table, params)
+        return jitted_q(g, title_table, query_table, kw, params)
+
+    return fn
 
 
 def evaluate_hybrid(

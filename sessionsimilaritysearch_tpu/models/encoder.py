@@ -105,6 +105,8 @@ class GraphLevelEncoder(nn.Module):
         get_node: bool = False,
         deterministic: bool = True,
         title_table=None,
+        query_table=None,
+        query_kw=None,
     ):
         """``title_table``: optional [asin_num, d_text] catalog of
         precomputed title embeddings (built via :meth:`embed_texts` over the
@@ -114,9 +116,26 @@ class GraphLevelEncoder(nn.Module):
         all text-encoder FLOPs (with ignore_query only the constant root
         query node still runs it). Identical output to the uncached path
         when catalog titles match the session titles (tests/test_models.py).
-        Pass the table as a traced argument, never a closure capture."""
+        Pass the table as a traced argument, never a closure capture.
+
+        ``query_table`` + ``query_kw``: the same trick for the QUERY node
+        store — a [n_keywords, d_text] table of precomputed keyword
+        embeddings and a [B, Q] id grid mapping each query node to its
+        table row (search keywords repeat across sessions exactly like
+        titles; the query node embedding depends only on its token row —
+        positions enter at the poolings — so the gather is exact). Built
+        with :func:`evalharness.harness.build_keyword_table`. Requires
+        ``title_table`` too: together they remove the text backbone from
+        the serving forward entirely."""
         Q = graph.query_input_ids.shape[1]
-        if title_table is not None:
+        if query_table is not None:
+            assert title_table is not None and query_kw is not None, (
+                "query_table requires title_table and query_kw (the fully "
+                "cached serving forward)"
+            )
+            emb = {"query": jnp.take(query_table, query_kw, axis=0)}
+            b = jnp.take(title_table, graph.product_asin, axis=0)
+        elif title_table is not None:
             emb = {
                 "query": _embed_nodes(
                     self.query_node_embedder,

@@ -507,3 +507,74 @@ class TestTitleTableCache:
         np.testing.assert_allclose(
             np.asarray(cached(batch)), np.asarray(plain(batch)), atol=1e-4
         )
+
+    def test_keyword_table_matches_uncached(self, tiny_cfg, tokenizer, gen):
+        """The fully-cached forward (title_table + query_table) must match
+        the uncached forward, with real (non-root) query nodes in play."""
+        from sessionsimilaritysearch_tpu.data import build_graph_batch
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            build_keyword_table,
+            build_title_table,
+            make_cached_encode_fn,
+        )
+        from sessionsimilaritysearch_tpu.models import build_graph_encoder
+
+        cfg = tiny_cfg.replace(ignore_query=False)
+        data = gen.dataset(10)
+        data = [d for d in data
+                if any(a[1] != "s" for a in d[0])] or [gen.datum()]
+        batch = build_graph_batch(data, tokenizer, cfg.dims,
+                                  ignore_query=False)
+        enc = build_graph_encoder(cfg)
+        params = enc.init(jax.random.PRNGKey(0), batch)
+        plain = jax.jit(lambda g: enc.apply(params, g))
+        table = build_title_table(cfg, tokenizer, gen.titles, enc, params,
+                                  batch_size=64)
+        kws = sorted({a[2] or "" for d in data for a in d[0]
+                      if a[1] == "s"})
+        qtable, lookup = build_keyword_table(cfg, tokenizer, kws, enc,
+                                             params, batch_size=64)
+        assert qtable.shape[0] == len(set(kws) | {""})
+        cached = make_cached_encode_fn(enc, params, table,
+                                       query_table=qtable, kw_lookup=lookup)
+        np.testing.assert_allclose(
+            np.asarray(cached(batch)), np.asarray(plain(batch)), atol=1e-4
+        )
+        # at least one session must actually contain a search action, or
+        # this test only exercises the root node
+        assert any(a[1] == "s" for d in data for a in d[0])
+
+    def test_keyword_table_oov_falls_back(self, tiny_cfg, tokenizer, gen):
+        """A batch containing a keyword absent from the table must take the
+        title-only path (exact output, no crash)."""
+        from sessionsimilaritysearch_tpu.data import build_graph_batch
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            build_keyword_table,
+            build_title_table,
+            keyword_ids,
+            make_cached_encode_fn,
+        )
+        from sessionsimilaritysearch_tpu.models import build_graph_encoder
+
+        cfg = tiny_cfg.replace(ignore_query=False)
+        data = [d for d in gen.dataset(20)
+                if any(a[1] == "s" for a in d[0])][:4]
+        assert data, "generator produced no sessions with searches"
+        batch = build_graph_batch(data, tokenizer, cfg.dims,
+                                  ignore_query=False)
+        enc = build_graph_encoder(cfg)
+        params = enc.init(jax.random.PRNGKey(0), batch)
+        plain = jax.jit(lambda g: enc.apply(params, g))
+        table = build_title_table(cfg, tokenizer, gen.titles, enc, params,
+                                  batch_size=64)
+        # vocabulary deliberately MISSING the sessions' keywords
+        qtable, lookup = build_keyword_table(
+            cfg, tokenizer, ["zz-not-a-real-keyword"], enc, params,
+            batch_size=64,
+        )
+        assert keyword_ids(lookup, np.asarray(batch.query_input_ids)) is None
+        cached = make_cached_encode_fn(enc, params, table,
+                                       query_table=qtable, kw_lookup=lookup)
+        np.testing.assert_allclose(
+            np.asarray(cached(batch)), np.asarray(plain(batch)), atol=1e-4
+        )
