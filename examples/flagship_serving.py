@@ -415,6 +415,63 @@ def main():
               f"vr10={vr:.4f}  type@10={modes[name]['ave_type_score10']:.4f}",
               flush=True)
 
+    # --- LEARNED binary prefilter (round 3: ops.projection.fit_itq).
+    # Random SimHash bits all point at the trained corpus's shared mean
+    # direction (the measured binary-prefilter null above); ITQ centers
+    # and rotates, so the same sign-scan cost carries data-dependent
+    # signal. Same exact full-dim re-rank over the pool.
+    from sessionsimilaritysearch_tpu.ops.projection import fit_itq
+
+    t0 = time.perf_counter()
+    itq_bits = min(args.bits, D)
+    itq = fit_itq(cn, itq_bits)
+    t_itq = time.perf_counter() - t0
+    i_mean = jnp.asarray(itq.mean, jnp.float32)
+    i_comp = jnp.asarray(itq.components, jnp.float32)
+
+    @jax.jit
+    def itq_signs(x):
+        y = jnp.dot(x.astype(jnp.float32) - i_mean, i_comp.T,
+                    preferred_element_type=jnp.float32)
+        return jnp.where(y >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+
+    ci_signs = itq_signs(jnp.asarray(cn))
+    qi_signs = itq_signs(jnp.asarray(qn))
+    jax.block_until_ready((ci_signs, qi_signs))
+    print(f"itq fit: {t_itq:.1f}s ({itq_bits} bits)", flush=True)
+    for pool in (128, 256):
+        def itq_search(qs, p=pool):
+            _, cand = sign_topk(qs, ci_signs, p, n_bits=itq_bits,
+                                mode="approx", recall_target=0.95)
+            return rerank_topk(queries, corpus, cand, K,
+                               score_dtype=jnp.float32)
+
+        dt, out = _timed(itq_search, qi_signs, args.iters, chain_ts)
+        I = np.asarray(out[1])
+        sub_pool = min(pool, oracle_n)
+        _, cand_sub = sign_topk(
+            qi_signs[:oracle_q], ci_signs[:oracle_n], sub_pool,
+            n_bits=itq_bits, mode="approx", recall_target=0.95,
+        )
+        _, i_sub = rerank_topk(
+            jnp.asarray(subq, bf16), corpus[:oracle_n], cand_sub, 10,
+            score_dtype=jnp.float32,
+        )
+        vr = value_recall_at_k(np.asarray(i_sub), subq, sub, 10,
+                               rel_tol=2 * 2.0**-8)
+        name = f"twostage_itq_pool{pool}"
+        modes[name] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "qps": round(args.queries / dt, 0),
+            "value_recall10": round(vr, 4),
+            "ave_type_score10": round(
+                get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                              "all_product_type_score"), 4),
+        }
+        print(f"{name:>18}: {dt*1e3:7.1f} ms  {args.queries/dt:9,.0f} qps  "
+              f"vr10={vr:.4f}  type@10={modes[name]['ave_type_score10']:.4f}",
+              flush=True)
+
     result = {
         "sessions": N,
         "dim": D,

@@ -84,15 +84,17 @@ class SessionSearchEngine:
         (2-4x capacity/chip; 'int8x8' also runs the scan on the MXU int
         path, +26% QPS measured). Same-tolerance retrieval quality gates
         as the raw indexes (docs/RESULTS.md).
-      prefilter: None | 'binary' | 'int8x8' | 'pca' -- two-stage serving
-        (index.twostage.TwoStageIndex): a cheap stage-1 scan over codes
-        nominates ``pool`` candidates per query and only those rows are
-        ranked exactly at full dimension. Exact final ranking over the
-        pool; single-chip only (pass mesh=None).
+      prefilter: None | 'binary' | 'itq' | 'int8x8' | 'pca' -- two-stage
+        serving (index.twostage.TwoStageIndex): a cheap stage-1 scan over
+        codes nominates ``pool`` candidates per query and only those rows
+        are ranked exactly at full dimension. Exact final ranking over the
+        pool; 'itq' is the learned binary prefilter for trained
+        (cone-collapsed) embeddings where random SimHash is signal-free.
       pool: stage-1 candidates per query (two-stage mode).
       projector: fitted ``ops.projection.PCAProjector`` for
-        ``prefilter='pca'`` (fit offline with ``fit_pca`` on a corpus
-        sample; ``index.twostage.build_twostage_index`` shows the recipe).
+        ``prefilter='pca'``/'itq' (fit offline with ``fit_pca``/``fit_itq``
+        on a corpus sample; ``index.twostage.build_twostage_index`` shows
+        the recipe).
       center: centered-cosine serving (dense single-chip path): a [dim]
         mean, or 'auto' to fit from the first ingested batch. The
         measured fix for cone-collapsed encoder embeddings where raw

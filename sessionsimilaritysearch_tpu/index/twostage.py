@@ -52,6 +52,17 @@ def _simhash_signs(emb: jnp.ndarray, n_bits: int, seed: int) -> jnp.ndarray:
     return jnp.where(dots >= 0, 1.0, -1.0).astype(jnp.bfloat16)
 
 
+@jax.jit
+def _centered_signs(
+    emb: jnp.ndarray, mean: jnp.ndarray, comp: jnp.ndarray
+) -> jnp.ndarray:
+    """Device-side learned binary codes: sign((x - mean) @ comp.T) for a
+    fitted (ITQ-rotated) projector — see ops.projection.fit_itq."""
+    y = jnp.dot(emb.astype(jnp.float32) - mean, comp.T,
+                preferred_element_type=jnp.float32)
+    return jnp.where(y >= 0, 1.0, -1.0).astype(jnp.bfloat16)
+
+
 class TwoStageIndex:
     """Prefilter + exact re-rank over one embedding corpus.
 
@@ -61,7 +72,13 @@ class TwoStageIndex:
       metric: 'cos' (rows/queries L2-normalized) | 'ip'.
       prefilter:
         'binary'  SimHash sign codes, approx-selected MXU sign scan
-                  (fastest stage 1; ``n_bits`` codes per row);
+                  (fastest stage 1; ``n_bits`` codes per row). Carries NO
+                  signal on cone-collapsed trained embeddings (measured
+                  null, docs/RESULTS.md r3) — use 'itq' there;
+        'itq'     LEARNED binary codes: sign of the centered ITQ-rotated
+                  projection (pass ``projector`` from
+                  ``ops.projection.fit_itq``) — same sign-scan cost as
+                  'binary' with data-dependent bits;
         'int8x8'  int8 x int8 MXU scan with approx selection;
         'pca'     low-rank scan over a fitted projection (pass
                   ``projector`` from ``ops.projection.fit_pca``; cheapest
@@ -92,11 +109,14 @@ class TwoStageIndex:
         seed: int = 0,
     ):
         assert metric in ("cos", "ip")
-        assert prefilter in ("binary", "int8x8", "pca")
-        if prefilter == "pca":
+        assert prefilter in ("binary", "itq", "int8x8", "pca")
+        if prefilter in ("pca", "itq"):
             assert projector is not None, (
-                "prefilter='pca' needs a fitted ops.projection.PCAProjector"
+                f"prefilter='{prefilter}' needs a fitted "
+                "ops.projection projector (fit_pca / fit_itq)"
             )
+        if prefilter == "itq":
+            n_bits = int(np.asarray(projector.components).shape[0])
         self.dim = dim
         self.capacity = capacity
         self.metric = metric
@@ -109,6 +129,11 @@ class TwoStageIndex:
         self.size = 0
         self._buf = jnp.zeros((capacity, dim), dtype=self.store_dtype)
         if prefilter == "binary":
+            self._codes = -jnp.ones((capacity, n_bits), jnp.bfloat16)
+        elif prefilter == "itq":
+            self._proj_mean = jnp.asarray(projector.mean, jnp.float32)
+            self._proj_comp = jnp.asarray(projector.components, jnp.float32)
+            self._proj_explained = float(projector.explained)
             self._codes = -jnp.ones((capacity, n_bits), jnp.bfloat16)
         elif prefilter == "int8x8":
             self._codes = jnp.zeros((capacity, dim), jnp.int8)
@@ -150,6 +175,8 @@ class TwoStageIndex:
         )
         if self.prefilter == "binary":
             codes = _simhash_signs(emb, self.n_bits, self.seed)
+        elif self.prefilter == "itq":
+            codes = _centered_signs(emb, self._proj_mean, self._proj_comp)
         elif self.prefilter == "int8x8":
             codes, scales = _quantize_rows_int8(emb)
             self._scales = jax.lax.dynamic_update_slice(
@@ -162,8 +189,13 @@ class TwoStageIndex:
 
     def _stage1(self, qn: jnp.ndarray, pool: int) -> jnp.ndarray:
         vc = jnp.asarray(self.size, jnp.int32)
-        if self.prefilter == "binary":
-            q_signs = _simhash_signs(qn, self.n_bits, self.seed)
+        if self.prefilter in ("binary", "itq"):
+            if self.prefilter == "binary":
+                q_signs = _simhash_signs(qn, self.n_bits, self.seed)
+            else:
+                q_signs = _centered_signs(
+                    qn, self._proj_mean, self._proj_comp
+                )
             _, idx = sign_topk(
                 q_signs, self._codes, pool, n_bits=self.n_bits,
                 mode="approx", recall_target=self.recall_target,
@@ -217,7 +249,7 @@ class TwoStageIndex:
         extra = {}
         if self.prefilter == "int8x8":
             extra["scales"] = np.asarray(self._scales[: self.size])
-        if self.prefilter == "pca":
+        if self.prefilter in ("pca", "itq"):
             extra["proj_mean"] = np.asarray(self._proj_mean)
             extra["proj_comp"] = np.asarray(self._proj_comp)
             extra["proj_explained"] = self._proj_explained
@@ -250,7 +282,7 @@ class TwoStageIndex:
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         prefilter = str(z["prefilter"])
         projector = None
-        if prefilter == "pca":
+        if prefilter in ("pca", "itq"):
             from sessionsimilaritysearch_tpu.ops.projection import (
                 PCAProjector,
             )
@@ -523,19 +555,28 @@ def build_twostage_index(
     **kw,
 ) -> TwoStageIndex:
     """One-shot construction from a full corpus (the two-stage counterpart
-    of ``index.dense.build_index``). For ``prefilter='pca'`` the projector
-    is fitted from the corpus itself (cos-normalized rows when
-    ``metric='cos'``, matching what gets indexed)."""
+    of ``index.dense.build_index``). For ``prefilter='pca'``/``'itq'`` the
+    projector is fitted from the corpus itself (cos-normalized rows when
+    ``metric='cos'``, matching what gets indexed); 'itq' fits ``n_bits``
+    learned code directions (kw ``n_bits``, default 256)."""
     emb = np.asarray(emb, np.float32)
     projector = None
-    if prefilter == "pca":
-        from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+    if prefilter in ("pca", "itq"):
+        from sessionsimilaritysearch_tpu.ops.projection import (
+            fit_itq,
+            fit_pca,
+        )
 
         rows = (
             np.asarray(topk_ops.l2_normalize(jnp.asarray(emb)))
             if metric == "cos" else emb
         )
-        projector = fit_pca(rows, min(pca_dim, emb.shape[1]))
+        if prefilter == "pca":
+            projector = fit_pca(rows, min(pca_dim, emb.shape[1]))
+        else:
+            projector = fit_itq(
+                rows, min(int(kw.get("n_bits", 256)), emb.shape[1])
+            )
     idx = TwoStageIndex(
         dim=emb.shape[1], capacity=emb.shape[0], metric=metric,
         prefilter=prefilter, projector=projector, **kw,

@@ -54,6 +54,59 @@ class PCAProjector(NamedTuple):
         return cls(z["mean"], z["components"], float(z["explained"]))
 
 
+def fit_itq(
+    emb: np.ndarray,
+    n_bits: int,
+    iters: int = 50,
+    sample: int = 65536,
+    seed: int = 0,
+) -> PCAProjector:
+    """Fit a LEARNED binary-code projector (ITQ, Gong & Lazebnik CVPR'11):
+    center + PCA to ``n_bits`` directions, then an orthogonal rotation R
+    minimizing the quantization loss ``||sign(VR) - VR||_F`` by alternating
+    minimization (fix codes -> orthogonal Procrustes for R). The rotation
+    is folded into the returned projector's ``components``, so the binary
+    code of x is simply ``sign(projector.project_raw(x))``.
+
+    Why this beats SimHash on trained session encoders: their embeddings
+    collapse into a narrow cone (participation ratio 9-14 at 1600-d,
+    docs/RESULTS.md), so random hyperplanes spend nearly every bit on the
+    shared mean direction and carry ~no neighborhood signal (the measured
+    two-stage binary-prefilter null, docs/RESULTS.md r3). Centering kills
+    the common component and the balanced rotation equalizes per-bit
+    variance — the data-dependent code the reference trains a BinarizeHead
+    for 70 epochs to get (fine_tune_ours.py:269-281, config.py:59),
+    obtained here from one SVD + a few dozen tiny [bits, bits] SVDs.
+    """
+    emb = np.asarray(emb, np.float32)
+    n, d = emb.shape
+    assert 0 < n_bits <= d, (n_bits, d)
+    pca = fit_pca(emb, n_bits, sample=sample, seed=seed)
+    rng = np.random.default_rng(seed)
+    if n > sample:
+        idx = rng.choice(n, sample, replace=False)
+        emb = emb[idx]
+    V = (emb - pca.mean) @ pca.components.T  # [n, n_bits], centered
+    # random orthogonal init (QR of a Gaussian), then alternate:
+    # B = sign(VR); R = argmax tr(R^T V^T B) = U @ Vt from svd(V^T B)
+    R = np.linalg.qr(rng.standard_normal((n_bits, n_bits)))[0].astype(
+        np.float32
+    )
+    for _ in range(iters):
+        B = np.where(V @ R >= 0, 1.0, -1.0).astype(np.float32)
+        U, _, Vt = np.linalg.svd(V.T @ B, full_matrices=False)
+        R = (U @ Vt).astype(np.float32)
+    return PCAProjector(pca.mean, (R.T @ pca.components), pca.explained)
+
+
+def itq_codes(emb: np.ndarray, projector: PCAProjector) -> np.ndarray:
+    """Binary codes for a fitted ITQ projector: [n, n_bits] in {+1, -1}
+    (zero projections break ties as +1, the ``simhash_codes`` convention)."""
+    emb = np.asarray(emb, np.float32)
+    y = (emb - projector.mean) @ projector.components.T
+    return np.where(y >= 0, 1.0, -1.0).astype(np.float32)
+
+
 def fit_pca(
     emb: np.ndarray, out_dim: int, sample: int = 65536, seed: int = 0
 ) -> PCAProjector:
