@@ -163,9 +163,10 @@ class SessionSearchEngine:
                     ShardedTwoStageIndex,
                 )
 
-                assert prefilter == "binary", (
-                    "sharded two-stage serving supports the binary SimHash "
-                    "prefilter; use a single-chip engine for int8x8/pca"
+                assert prefilter in ("binary", "itq"), (
+                    "sharded two-stage serving supports the sign-code "
+                    "prefilters ('binary' SimHash / 'itq' learned); use a "
+                    "single-chip engine for int8x8/pca"
                 )
                 assert quantize is None, (
                     "two-stage mode stores its own code buffers; drop "
@@ -173,7 +174,7 @@ class SessionSearchEngine:
                 )
                 self.index = ShardedTwoStageIndex(
                     dim=dim, capacity=capacity, mesh=mesh, metric=metric,
-                    pool=pool,
+                    prefilter=prefilter, pool=pool, projector=projector,
                 )
             else:
                 self.index = ShardedDenseIndex(

@@ -325,10 +325,11 @@ class TwoStageIndex:
 class ShardedTwoStageIndex:
     """Two-stage serving over a corpus row-sharded across a mesh axis.
 
-    The scale-out form of :class:`TwoStageIndex` (binary SimHash
-    prefilter): full-precision rows AND their sign codes stripe across
-    the mesh's ``axis``, each chip prefilters + exactly re-ranks its own
-    slice, and per-shard [q, k] slivers merge over ICI
+    The scale-out form of :class:`TwoStageIndex` (binary sign-code
+    prefilter — random SimHash or the learned ITQ projector): full-
+    precision rows AND their sign codes stripe across the mesh's
+    ``axis``, each chip prefilters + exactly re-ranks its own slice, and
+    per-shard [q, k] slivers merge over ICI
     (``parallel.collectives.sharded_twostage_topk``). Capacity and both
     scan costs scale linearly with chips; results carry GLOBAL
     insertion-order ids and match ``DenseIndex`` conventions.
@@ -344,16 +345,29 @@ class ShardedTwoStageIndex:
         mesh,
         axis: str = "data",
         metric: str = "cos",
+        prefilter: str = "binary",
         n_bits: int = 256,
         pool: int = 512,
         store_dtype=jnp.bfloat16,
         recall_target: float = 0.95,
         score_dtype=jnp.float32,
+        projector=None,
         seed: int = 0,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert metric in ("cos", "ip")
+        assert prefilter in ("binary", "itq")
+        if prefilter == "itq":
+            assert projector is not None, (
+                "prefilter='itq' needs a fitted ops.projection projector "
+                "(fit_itq)"
+            )
+            n_bits = int(np.asarray(projector.components).shape[0])
+            self._proj_mean = jnp.asarray(projector.mean, jnp.float32)
+            self._proj_comp = jnp.asarray(projector.components, jnp.float32)
+            self._proj_explained = float(projector.explained)
+        self.prefilter = prefilter
         self.dim = dim
         self.mesh = mesh
         self.axis = axis
@@ -411,6 +425,11 @@ class ShardedTwoStageIndex:
     def ntotal(self) -> int:
         return self.size
 
+    def _signs(self, emb: jnp.ndarray) -> jnp.ndarray:
+        if self.prefilter == "itq":
+            return _centered_signs(emb, self._proj_mean, self._proj_comp)
+        return _simhash_signs(emb, self.n_bits, self.seed)
+
     def add(self, emb) -> None:
         """Append [m, d]; m must divide the mesh axis (pad on the host if
         needed). Rows keep global insertion-order ids."""
@@ -424,7 +443,7 @@ class ShardedTwoStageIndex:
             raise ValueError("sharded two-stage index full")
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
-        codes = _simhash_signs(emb, self.n_bits, self.seed)
+        codes = self._signs(emb)
         ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
         start = jax.device_put(
             jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
@@ -458,7 +477,7 @@ class ShardedTwoStageIndex:
             topk_ops.l2_normalize(queries)
             if self.metric == "cos" else queries
         )
-        q_signs = _simhash_signs(qn, self.n_bits, self.seed)
+        q_signs = self._signs(qn)
         local_fill = self.size // self.ndev
         valid = jax.device_put(
             jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
@@ -474,6 +493,11 @@ class ShardedTwoStageIndex:
 
     # --- persistence (serving config travels with the data)
     def save(self, path: str) -> None:
+        extra = {}
+        if self.prefilter == "itq":
+            extra["proj_mean"] = np.asarray(self._proj_mean)
+            extra["proj_comp"] = np.asarray(self._proj_comp)
+            extra["proj_explained"] = self._proj_explained
         np.savez(
             path,
             buf=np.asarray(self._buf.astype(jnp.float32)),
@@ -487,28 +511,42 @@ class ShardedTwoStageIndex:
             capacity=self.capacity,
             ndev=self.ndev,
             metric=self.metric,
+            prefilter=self.prefilter,
             n_bits=self.n_bits,
             pool=self.pool,
             store_dtype=self.store_dtype.name,
             recall_target=self.recall_target,
             score_dtype=jnp.dtype(self.score_dtype).name,
             seed=self.seed,
+            **extra,
         )
 
     @classmethod
     def load(cls, path: str, mesh, **kw) -> "ShardedTwoStageIndex":
         """Restore on ``mesh`` (re-striping if the shard count changed)."""
         z = np.load(path if path.endswith(".npz") else path + ".npz")
+        prefilter = str(z["prefilter"]) if "prefilter" in z else "binary"
+        projector = None
+        if prefilter == "itq":
+            from sessionsimilaritysearch_tpu.ops.projection import (
+                PCAProjector,
+            )
+
+            projector = PCAProjector(
+                z["proj_mean"], z["proj_comp"], float(z["proj_explained"])
+            )
         idx = cls(
             dim=int(z["dim"]),
             capacity=int(kw.pop("capacity", int(z["capacity"]))),
             mesh=mesh,
             metric=str(z["metric"]),
+            prefilter=prefilter,
             n_bits=int(z["n_bits"]),
             pool=int(kw.pop("pool", int(z["pool"]))),
             store_dtype=jnp.dtype(str(z["store_dtype"])),
             recall_target=float(z["recall_target"]),
             score_dtype=jnp.dtype(str(z["score_dtype"])),
+            projector=projector,
             seed=int(z["seed"]),
             **kw,
         )

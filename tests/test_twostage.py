@@ -371,6 +371,47 @@ class TestShardedTwoStage:
         cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
         assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
 
+    def test_index_itq_prefilter(self, mesh, rng):
+        """Learned (ITQ) sign codes flow through the sharded form: full-
+        pool search matches exact, snapshots round-trip the projector."""
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        corpus = rng.standard_normal((512, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
+        proj = fit_itq(cn, 24, iters=10)
+        idx = ShardedTwoStageIndex(dim=24, capacity=512, mesh=mesh,
+                                   prefilter="itq", projector=proj)
+        assert idx.n_bits == 24  # derived from the projector
+        idx.add(corpus)
+        _, I = idx.search(q, 6, pool=64)  # 64/shard == whole shard
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
+
+    def test_itq_save_load_restripe(self, mesh, tmp_path, rng):
+        import jax as _jax
+
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        corpus = rng.standard_normal((256, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        proj = fit_itq(
+            np.asarray(l2_normalize(jnp.asarray(corpus))), 16, iters=10
+        )
+        idx = ShardedTwoStageIndex(dim=16, capacity=512, mesh=mesh,
+                                   prefilter="itq", projector=proj, pool=48)
+        idx.add(corpus)
+        D1, I1 = idx.search(q, 5)
+        path = str(tmp_path / "sts_itq")
+        idx.save(path)
+        mesh4 = create_mesh(devices=_jax.devices()[:4])
+        idx2 = ShardedTwoStageIndex.load(path, mesh=mesh4)
+        assert (idx2.prefilter, idx2.ndev, idx2.size) == ("itq", 4, 256)
+        D2, I2 = idx2.search(q, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
     def test_save_load_restripe(self, mesh, tmp_path, rng):
         import jax as _jax
 
