@@ -190,15 +190,25 @@ def main():
     print(f"hash heads trained: {args.ft_epochs} epochs, {time.time()-t0:.0f}s"
           f" (loss {float(m.get('loss', float('nan'))):.4f})")
 
-    # --- 4. Hamming serving: untrained vs trained codes
+    # --- 4. Hamming serving: untrained vs trained vs learned-projection
+    # codes. 'binary ITQ' is the gradient-free learned construction
+    # (ops.projection.fit_itq: center + PCA + balanced rotation fitted on
+    # the CORPUS codes only — no labels, no triplets); on cone-collapsed
+    # spectra it is the strongest code family because random hyperplanes
+    # spend their bits on the shared mean direction.
     from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes
+    from sessionsimilaritysearch_tpu.ops.projection import fit_itq, itq_codes
 
     lsh_db = simhash_codes(ce, args.bits, seed=args.seed)
     lsh_q = simhash_codes(qe, args.bits, seed=args.seed)
+    itq_bits = min(args.bits, ce.shape[1])
+    itq_proj = fit_itq(ce, itq_bits, seed=args.seed)
     rows = [("dense cosine", dense_score, None)]
     for tag, db_c, q_c in (
         ("binary untrained", code_db0, code_q0),
         ("binary LSH (simhash)", lsh_db, lsh_q),
+        (f"binary ITQ ({itq_bits}b)",
+         itq_codes(ce, itq_proj), itq_codes(qe, itq_proj)),
         ("binary trained",
          np.asarray(db_fn(ft_state, jnp.asarray(ce))),
          np.asarray(q_fn(ft_state, jnp.asarray(qe)))),
