@@ -330,18 +330,24 @@ class TestVectorizedQueryPaths:
         # wall-clock bound flakes; what the test pins is "a few vectorized
         # passes", i.e. a small multiple of one such pass -- the old
         # per-candidate Python loops were >100x one pass)
-        t0 = time.perf_counter()
-        np.lexsort(
+        def best_of(fn, reps=3):
+            best = float("inf")
+            out = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = fn()
+                best = min(best, time.perf_counter() - t0)
+            return best, out
+
+        unit_s, _ = best_of(lambda: np.lexsort(
             (np.tile(np.arange(m), q), rng.standard_normal(q * m),
              np.repeat(np.arange(q), m))
+        ))
+        unit_s = max(unit_s, 1e-3)
+        hybrid_s, (D, I) = best_of(
+            lambda: eng._hybrid_rerank(D2, gid, q_sets, k, 0.5)
         )
-        unit_s = max(time.perf_counter() - t0, 1e-3)
-        t0 = time.perf_counter()
-        D, I = eng._hybrid_rerank(D2, gid, q_sets, k, 0.5)
-        hybrid_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        Dd, Id = eng._dedup_topk(D2, gid, k)
-        dedup_s = time.perf_counter() - t0
+        dedup_s, (Dd, Id) = best_of(lambda: eng._dedup_topk(D2, gid, k))
         assert I.shape == (q, k) and Id.shape == (q, k)
         assert hybrid_s < 60 * unit_s, (  # 60x: calibration vs timed region
             # can diverge under external host load; Python loops are >100x
