@@ -16,6 +16,7 @@ Smoke:     python examples/flagship_serving.py --platform cpu --tiny
 import argparse
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -90,6 +91,11 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--cache", default=None, help=(
+        "path prefix for a stage checkpoint: the ~1h generate/train/embed "
+        "pipeline saves its normalized embeddings + sessions here, and a "
+        "rerun (same sessions/regime) resumes straight at the serving "
+        "ladder — the long stages survive tunnel/session interruptions"))
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -108,87 +114,129 @@ def main():
     print(f"flagship serving artifact: {args.sessions} sessions, "
           f"session_emb_dim={cfg.session_emb_dim}, asin_num={cfg.asin_num}, "
           f"regime={args.regime}", flush=True)
-    tok = get_tokenizer(cfg.vocab_size)
-    if args.regime == "adversarial":
-        gen = AdversarialSessionGenerator(asin_num=cfg.asin_num, seed=0)
-    else:
-        gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=0)
+    # --- 0. stage checkpoint: resume straight at the serving ladder when a
+    # compatible cache exists (the generate/train/embed pipeline is ~1h at
+    # 1M sessions and must survive tunnel/session interruptions)
+    meta = None
+    if args.cache and os.path.exists(args.cache + ".npz"):
+        z = np.load(args.cache + ".npz")
+        cand = json.loads(bytes(z["meta"]).decode())
+        if (cand["sessions"] == args.sessions
+                and cand["regime"] == args.regime
+                and cand["asin_num"] == cfg.asin_num
+                and cand["queries"] == args.queries):
+            meta, cn, qn = cand, z["cn"], z["qn"]
+            with open(args.cache + ".sessions.pkl", "rb") as f:
+                corpus_sessions, test_data = pickle.load(f)
+            print(f"cache hit: {args.cache}.npz "
+                  "(skipping generate/train/embed)", flush=True)
+        else:
+            print(f"cache mismatch ({cand} vs requested run); rebuilding",
+                  flush=True)
 
-    t0 = time.perf_counter()
-    data = gen.dataset(args.sessions)
-    test_data = gen.dataset(args.queries)
-    t_gen = time.perf_counter() - t0
-    print(f"generate: {t_gen:.1f}s", flush=True)
+    if meta is None:
+        tok = get_tokenizer(cfg.vocab_size)
+        if args.regime == "adversarial":
+            gen = AdversarialSessionGenerator(asin_num=cfg.asin_num, seed=0)
+        else:
+            gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=0)
 
-    # --- 1. train the flagship encoder (subsession objective) briefly
-    t0 = time.perf_counter()
-    bs = min(cfg.batch_size, args.train_sessions)
-    train_loader = SessionGraphLoader(
-        data[: args.train_sessions], tok, cfg.dims, bs, seed=0,
-    )
-    rng = jax.random.PRNGKey(0)
-    sample = to_device(next(iter(train_loader)))
-    model, state = create_session_state(cfg, rng, sample, mode="subsession",
-                                        encoder_kind="flagship")
-    step = make_session_train_step(model)
-    m, steps = {}, 0
-    while steps < args.train_steps:
-        for b in train_loader:
-            rng, sub = jax.random.split(rng)
-            state, m = step(state, to_device(b), sub)
-            steps += 1
-            if steps >= args.train_steps:
-                break
-    jax.block_until_ready(state.params)
-    t_train = time.perf_counter() - t0
-    print(f"train {steps} steps: {t_train:.1f}s, "
-          f"loss {float(m['loss']):.3f}", flush=True)
+        t0 = time.perf_counter()
+        data = gen.dataset(args.sessions)
+        test_data = gen.dataset(args.queries)
+        t_gen = time.perf_counter() - t0
+        print(f"generate: {t_gen:.1f}s", flush=True)
 
-    # --- 2. catalog title cache + bf16 serving params
-    params = serving_params(state.params)
-    enc_mod = build_graph_encoder(cfg)
-    enc_vars = {"params": params["encoder"]}
-    t0 = time.perf_counter()
-    table = build_title_table(cfg, tok, gen.titles, enc_mod, enc_vars,
-                              batch_size=args.embed_batch)
-    t_table = time.perf_counter() - t0
-    print(f"title table [{table.shape[0]} x {table.shape[1]}]: "
-          f"{t_table:.1f}s", flush=True)
-    # keyword table: with ignore_query the query store is just the padded
-    # root-node grid, but the title-cached forward still ran the text
-    # backbone over all [B, Q, T] padded rows -- the keyword gather removes
-    # the text encoder from the serving forward entirely
-    kws = sorted({a[2] or "" for d in data for a in d[0] if a[1] == "s"})
-    qtable, kw_lookup = build_keyword_table(
-        cfg, tok, kws, enc_mod, enc_vars, batch_size=args.embed_batch
-    )
-    print(f"keyword table [{qtable.shape[0]} x {qtable.shape[1]}]",
-          flush=True)
-    encode = make_cached_encode_fn(enc_mod, enc_vars, table,
-                                   query_table=qtable, kw_lookup=kw_lookup)
-    pipe = EmbeddingPipeline(cfg, tok, encode, batch_size=args.embed_batch)
+        # --- 1. train the flagship encoder (subsession objective) briefly
+        t0 = time.perf_counter()
+        bs = min(cfg.batch_size, args.train_sessions)
+        train_loader = SessionGraphLoader(
+            data[: args.train_sessions], tok, cfg.dims, bs, seed=0,
+        )
+        rng = jax.random.PRNGKey(0)
+        sample = to_device(next(iter(train_loader)))
+        model, state = create_session_state(
+            cfg, rng, sample, mode="subsession", encoder_kind="flagship")
+        step = make_session_train_step(model)
+        m, steps = {}, 0
+        while steps < args.train_steps:
+            for b in train_loader:
+                rng, sub = jax.random.split(rng)
+                state, m = step(state, to_device(b), sub)
+                steps += 1
+                if steps >= args.train_steps:
+                    break
+        jax.block_until_ready(state.params)
+        t_train = time.perf_counter() - t0
+        print(f"train {steps} steps: {t_train:.1f}s, "
+              f"loss {float(m['loss']):.3f}", flush=True)
 
-    # --- 3. embed the corpus (compile split from steady state)
-    corpus_sessions = [d[0] for d in data]
-    t0 = time.perf_counter()
-    pipe(data[: args.embed_batch])
-    t_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ce = pipe([(s, []) for s in corpus_sessions])
-    t_embed = time.perf_counter() - t0
-    qe = pipe(test_data)
-    embed_rate = args.sessions / t_embed
-    print(f"embed {args.sessions}: {t_embed:.1f}s ({embed_rate:.0f}/s; "
-          f"+{t_compile:.1f}s compile)", flush=True)
+        # --- 2. catalog title cache + bf16 serving params
+        params = serving_params(state.params)
+        enc_mod = build_graph_encoder(cfg)
+        enc_vars = {"params": params["encoder"]}
+        t0 = time.perf_counter()
+        table = build_title_table(cfg, tok, gen.titles, enc_mod, enc_vars,
+                                  batch_size=args.embed_batch)
+        t_table = time.perf_counter() - t0
+        print(f"title table [{table.shape[0]} x {table.shape[1]}]: "
+              f"{t_table:.1f}s", flush=True)
+        # keyword table: with ignore_query the query store is just the padded
+        # root-node grid, but the title-cached forward still ran the text
+        # backbone over all [B, Q, T] padded rows -- the keyword gather
+        # removes the text encoder from the serving forward entirely
+        kws = sorted({a[2] or "" for d in data for a in d[0] if a[1] == "s"})
+        qtable, kw_lookup = build_keyword_table(
+            cfg, tok, kws, enc_mod, enc_vars, batch_size=args.embed_batch
+        )
+        print(f"keyword table [{qtable.shape[0]} x {qtable.shape[1]}]",
+              flush=True)
+        encode = make_cached_encode_fn(enc_mod, enc_vars, table,
+                                       query_table=qtable,
+                                       kw_lookup=kw_lookup)
+        pipe = EmbeddingPipeline(cfg, tok, encode,
+                                 batch_size=args.embed_batch)
+
+        # --- 3. embed the corpus (compile split from steady state)
+        corpus_sessions = [d[0] for d in data]
+        t0 = time.perf_counter()
+        pipe(data[: args.embed_batch])
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ce = pipe([(s, []) for s in corpus_sessions])
+        t_embed = time.perf_counter() - t0
+        qe = pipe(test_data)
+        embed_rate = args.sessions / t_embed
+        print(f"embed {args.sessions}: {t_embed:.1f}s ({embed_rate:.0f}/s; "
+              f"+{t_compile:.1f}s compile)", flush=True)
+
+        cn = np.asarray(
+            l2_normalize(jnp.asarray(ce, jnp.float32)), np.float32
+        )
+        qn = np.asarray(
+            l2_normalize(jnp.asarray(qe, jnp.float32)), np.float32
+        )
+        meta = {
+            "sessions": args.sessions, "regime": args.regime,
+            "asin_num": cfg.asin_num, "queries": args.queries,
+            "gen_s": round(t_gen, 1), "train_steps": steps,
+            "train_s": round(t_train, 1), "title_table_s": round(t_table, 1),
+            "embed_s": round(t_embed, 1),
+            "embed_sessions_per_s": round(embed_rate, 0),
+        }
+        if args.cache:
+            t0 = time.perf_counter()
+            with open(args.cache + ".sessions.pkl", "wb") as f:
+                pickle.dump((corpus_sessions, test_data), f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+            np.savez(args.cache + ".npz", cn=cn, qn=qn,
+                     meta=np.frombuffer(
+                         json.dumps(meta).encode(), dtype=np.uint8))
+            print(f"cache saved: {args.cache}.npz "
+                  f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     # --- 4. the serving corpus in every production storage form
-    N, D = ce.shape
-    cn = np.asarray(
-        l2_normalize(jnp.asarray(ce, jnp.float32)), np.float32
-    )
-    qn = np.asarray(
-        l2_normalize(jnp.asarray(qe, jnp.float32)), np.float32
-    )
+    N, D = cn.shape
     corpus = jnp.asarray(cn, jnp.bfloat16)
     queries = jnp.asarray(qn, jnp.bfloat16)
     c8, c_scales = _quantize_rows_int8(jnp.asarray(cn))
@@ -479,12 +527,12 @@ def main():
         "regime": args.regime,
         "k": K,
         "query_batch": args.queries,
-        "gen_s": round(t_gen, 1),
-        "train_steps": steps,
-        "train_s": round(t_train, 1),
-        "title_table_s": round(t_table, 1),
-        "embed_s": round(t_embed, 1),
-        "embed_sessions_per_s": round(embed_rate, 0),
+        "gen_s": meta["gen_s"],
+        "train_steps": meta["train_steps"],
+        "train_s": meta["train_s"],
+        "title_table_s": meta["title_table_s"],
+        "embed_s": meta["embed_s"],
+        "embed_sessions_per_s": meta["embed_sessions_per_s"],
         "modes": modes,
     }
     print(json.dumps(result))
