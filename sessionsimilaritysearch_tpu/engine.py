@@ -163,10 +163,8 @@ class SessionSearchEngine:
                     ShardedTwoStageIndex,
                 )
 
-                assert prefilter in ("binary", "itq"), (
-                    "sharded two-stage serving supports the sign-code "
-                    "prefilters ('binary' SimHash / 'itq' learned); use a "
-                    "single-chip engine for int8x8/pca"
+                assert prefilter in ("binary", "itq", "int8x8", "pca"), (
+                    f"unknown prefilter {prefilter!r}"
                 )
                 assert quantize is None, (
                     "two-stage mode stores its own code buffers; drop "

@@ -325,11 +325,13 @@ class TwoStageIndex:
 class ShardedTwoStageIndex:
     """Two-stage serving over a corpus row-sharded across a mesh axis.
 
-    The scale-out form of :class:`TwoStageIndex` (binary sign-code
-    prefilter — random SimHash or the learned ITQ projector): full-
-    precision rows AND their sign codes stripe across the mesh's
-    ``axis``, each chip prefilters + exactly re-ranks its own slice, and
-    per-shard [q, k] slivers merge over ICI
+    The scale-out form of :class:`TwoStageIndex` with the FULL prefilter
+    menu ('binary' SimHash / learned 'itq' sign codes, 'int8x8' scaled
+    integer rows — the measured fastest high-fidelity single-chip mode,
+    docs/RESULTS.md r3 — and 'pca' low-rank projections): full-precision
+    rows AND their stage-1 codes stripe across the mesh's ``axis``, each
+    chip prefilters + exactly re-ranks its own slice, and per-shard
+    [q, k] slivers merge over ICI
     (``parallel.collectives.sharded_twostage_topk``). Capacity and both
     scan costs scale linearly with chips; results carry GLOBAL
     insertion-order ids and match ``DenseIndex`` conventions.
@@ -357,16 +359,18 @@ class ShardedTwoStageIndex:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert metric in ("cos", "ip")
-        assert prefilter in ("binary", "itq")
-        if prefilter == "itq":
+        assert prefilter in ("binary", "itq", "int8x8", "pca")
+        if prefilter in ("itq", "pca"):
             assert projector is not None, (
-                "prefilter='itq' needs a fitted ops.projection projector "
-                "(fit_itq)"
+                f"prefilter='{prefilter}' needs a fitted ops.projection "
+                "projector (fit_itq / fit_pca)"
             )
             n_bits = int(np.asarray(projector.components).shape[0])
             self._proj_mean = jnp.asarray(projector.mean, jnp.float32)
             self._proj_comp = jnp.asarray(projector.components, jnp.float32)
             self._proj_explained = float(projector.explained)
+        elif prefilter == "int8x8":
+            n_bits = dim  # stage-1 codes are full-width int8 rows
         self.prefilter = prefilter
         self.dim = dim
         self.mesh = mesh
@@ -389,8 +393,16 @@ class ShardedTwoStageIndex:
         self._buf = jax.device_put(
             jnp.zeros((capacity, dim), self.store_dtype), sh
         )
-        self._codes = jax.device_put(
-            -jnp.ones((capacity, n_bits), jnp.bfloat16), sh
+        code_dtype = jnp.int8 if prefilter == "int8x8" else jnp.bfloat16
+        code_init = (
+            jnp.zeros((capacity, n_bits), code_dtype)
+            if prefilter in ("int8x8", "pca")
+            else -jnp.ones((capacity, n_bits), code_dtype)
+        )
+        self._codes = jax.device_put(code_init, sh)
+        self._scales = (
+            jax.device_put(jnp.zeros((capacity,), jnp.float32), sh1)
+            if prefilter == "int8x8" else None
         )
         self._ids = jax.device_put(
             jnp.full((capacity,), -1, jnp.int32), sh1
@@ -401,34 +413,53 @@ class ShardedTwoStageIndex:
         from jax.sharding import PartitionSpec as P
 
         axis = self.axis
+        with_scales = self.prefilter == "int8x8"
 
-        def write(buf, codes, ids, rows, row_codes, row_ids, start):
+        def write(buf, codes, ids, rows, row_codes, row_ids, start, *sc):
             s = start[0]
-            return (
+            out = (
                 jax.lax.dynamic_update_slice(buf, rows, (s, 0)),
                 jax.lax.dynamic_update_slice(codes, row_codes, (s, 0)),
                 jax.lax.dynamic_update_slice(ids, row_ids, (s,)),
             )
+            if with_scales:
+                scales, row_scales = sc
+                out += (
+                    jax.lax.dynamic_update_slice(scales, row_scales, (s,)),
+                )
+            return out
 
+        extra = (P(axis), P(axis)) if with_scales else ()
         return jax.jit(
             jax.shard_map(
                 write,
                 mesh=self.mesh,
                 in_specs=(P(axis, None), P(axis, None), P(axis),
-                          P(axis, None), P(axis, None), P(axis), P(axis)),
-                out_specs=(P(axis, None), P(axis, None), P(axis)),
+                          P(axis, None), P(axis, None), P(axis), P(axis),
+                          *extra),
+                out_specs=(P(axis, None), P(axis, None), P(axis))
+                + ((P(axis),) if with_scales else ()),
             ),
-            donate_argnums=(0, 1, 2),
+            donate_argnums=(0, 1, 2) + ((7,) if with_scales else ()),
         )
 
     @property
     def ntotal(self) -> int:
         return self.size
 
-    def _signs(self, emb: jnp.ndarray) -> jnp.ndarray:
+    def _codes_of(self, emb: jnp.ndarray):
+        """Stage-1 representation of [m, d] rows: (codes, scales-or-None)."""
         if self.prefilter == "itq":
-            return _centered_signs(emb, self._proj_mean, self._proj_comp)
-        return _simhash_signs(emb, self.n_bits, self.seed)
+            return _centered_signs(emb, self._proj_mean, self._proj_comp), None
+        if self.prefilter == "binary":
+            return _simhash_signs(emb, self.n_bits, self.seed), None
+        if self.prefilter == "int8x8":
+            return _quantize_rows_int8(emb.astype(jnp.float32))
+        y = jnp.dot(
+            emb.astype(jnp.float32) - self._proj_mean, self._proj_comp.T,
+            preferred_element_type=jnp.float32,
+        )
+        return topk_ops.l2_normalize(y, eps=1e-24).astype(jnp.bfloat16), None
 
     def add(self, emb) -> None:
         """Append [m, d]; m must divide the mesh axis (pad on the host if
@@ -443,18 +474,26 @@ class ShardedTwoStageIndex:
             raise ValueError("sharded two-stage index full")
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
-        codes = self._signs(emb)
+        codes, scales = self._codes_of(emb)
         ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
         start = jax.device_put(
             jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
         )
-        self._buf, self._codes, self._ids = self._write_fn(
+        args = [
             self._buf, self._codes, self._ids,
             jax.device_put(emb.astype(self.store_dtype), self._row_sh),
             jax.device_put(codes, self._row_sh),
             jax.device_put(ids, self._id_sh),
             start,
-        )
+        ]
+        if self.prefilter == "int8x8":
+            args.insert(7, self._scales)
+            args.append(jax.device_put(scales, self._id_sh))
+            self._buf, self._codes, self._ids, self._scales = (
+                self._write_fn(*args)
+            )
+        else:
+            self._buf, self._codes, self._ids = self._write_fn(*args)
         self.size += m
 
     def search(
@@ -477,34 +516,40 @@ class ShardedTwoStageIndex:
             topk_ops.l2_normalize(queries)
             if self.metric == "cos" else queries
         )
-        q_signs = self._signs(qn)
+        q_codes, q_scales = self._codes_of(qn)
         local_fill = self.size // self.ndev
         valid = jax.device_put(
             jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
         )
         vals, ids = sharded_twostage_topk(
-            qn.astype(self.store_dtype), q_signs, self._buf, self._codes,
+            qn.astype(self.store_dtype), q_codes, self._buf, self._codes,
             k, self.mesh, axis=self.axis, shard_ids=self._ids,
             valid_per_shard=valid, pool=pool,
             recall_target=self.recall_target,
             score_dtype=self.score_dtype,
+            code_scales=self._scales, q_code_scales=q_scales,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 
     # --- persistence (serving config travels with the data)
     def save(self, path: str) -> None:
         extra = {}
-        if self.prefilter == "itq":
+        if self.prefilter in ("itq", "pca"):
             extra["proj_mean"] = np.asarray(self._proj_mean)
             extra["proj_comp"] = np.asarray(self._proj_comp)
             extra["proj_explained"] = self._proj_explained
+        if self.prefilter == "int8x8":
+            extra["codes"] = np.asarray(self._codes)  # int8, native npz
+            extra["scales"] = np.asarray(self._scales)
+        else:
+            # +-1 sign codes / unit-norm projections round-trip exactly
+            # via f16 (bf16 isn't a native npz dtype); persisted rather
+            # than re-derived so a restore is bit-identical even though
+            # rows are stored bf16
+            extra["codes_f16"] = np.asarray(self._codes.astype(jnp.float16))
         np.savez(
             path,
             buf=np.asarray(self._buf.astype(jnp.float32)),
-            # +-1 sign codes round-trip exactly via f16 (bf16 isn't a
-            # native npz dtype); persisted rather than re-derived so a
-            # restore is bit-identical even though rows are stored bf16
-            codes_f16=np.asarray(self._codes.astype(jnp.float16)),
             ids=np.asarray(self._ids),
             size=self.size,
             dim=self.dim,
@@ -527,7 +572,7 @@ class ShardedTwoStageIndex:
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         prefilter = str(z["prefilter"]) if "prefilter" in z else "binary"
         projector = None
-        if prefilter == "itq":
+        if prefilter in ("itq", "pca"):
             from sessionsimilaritysearch_tpu.ops.projection import (
                 PCAProjector,
             )
@@ -560,27 +605,45 @@ class ShardedTwoStageIndex:
             saved_ndev = int(z["ndev"])
             old_rows = int(z["capacity"]) // saved_ndev
             per_old = size // saved_ndev
-            buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
-            cod = np.asarray(z["codes_f16"]).reshape(
-                saved_ndev, old_rows, idx.n_bits
+            raw_cod = (
+                np.asarray(z["codes"]) if "codes" in z
+                else np.asarray(z["codes_f16"])
             )
+            buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
+            cod = raw_cod.reshape(saved_ndev, old_rows, idx.n_bits)
             ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
             flat_buf = buf[:, :per_old].reshape(size, idx.dim)
             flat_cod = cod[:, :per_old].reshape(size, idx.n_bits)
             flat_ids = ids[:, :per_old].reshape(size)
             order = np.argsort(flat_ids)  # restore insertion order
             rows = jnp.asarray(flat_buf[order], jnp.float32)
-            codes = jnp.asarray(flat_cod[order]).astype(jnp.bfloat16)
+            codes = (
+                jnp.asarray(flat_cod[order])
+                if prefilter == "int8x8"
+                else jnp.asarray(flat_cod[order]).astype(jnp.bfloat16)
+            )
             start = jax.device_put(
                 jnp.zeros((idx.ndev,), jnp.int32), idx._id_sh
             )
-            idx._buf, idx._codes, idx._ids = idx._write_fn(
+            args = [
                 idx._buf, idx._codes, idx._ids,
                 jax.device_put(rows.astype(idx.store_dtype), idx._row_sh),
                 jax.device_put(codes, idx._row_sh),
                 jax.device_put(jnp.asarray(flat_ids[order]), idx._id_sh),
                 start,
-            )
+            ]
+            if prefilter == "int8x8":
+                sca = np.asarray(z["scales"]).reshape(saved_ndev, old_rows)
+                flat_sca = sca[:, :per_old].reshape(size)[order]
+                args.insert(7, idx._scales)
+                args.append(jax.device_put(
+                    jnp.asarray(flat_sca, jnp.float32), idx._id_sh
+                ))
+                idx._buf, idx._codes, idx._ids, idx._scales = (
+                    idx._write_fn(*args)
+                )
+            else:
+                idx._buf, idx._codes, idx._ids = idx._write_fn(*args)
             idx.size = size
         return idx
 

@@ -121,8 +121,10 @@ def sharded_twostage_topk(
     pool: int = 512,
     recall_target: float = 0.95,
     score_dtype=jnp.float32,
+    code_scales: Optional[jnp.ndarray] = None,
+    q_code_scales: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-stage top-k over a row-sharded corpus: per-shard binary
+    """Two-stage top-k over a row-sharded corpus: per-shard cheap-code
     prefilter + per-shard exact full-dim re-rank + cross-shard merge.
 
     The multi-chip form of ``index.twostage.TwoStageIndex``: each chip
@@ -142,11 +144,16 @@ def sharded_twostage_topk(
     Args:
       queries: [q, d] full-precision queries, replicated (pre-normalized
         for cosine).
-      q_signs: [q, bits] +-1 bf16 SimHash codes of the SAME queries under
-        the corpus's projection seed, replicated.
+      q_signs: [q, w] stage-1 query codes, replicated: +-1 bf16 sign codes
+        (SimHash/ITQ, same projection as the corpus codes), a bf16 low-rank
+        projection (PCA prefilter), or int8 rows (with ``q_code_scales``).
       corpus: [n, d] full-precision rows, row-sharded over ``axis``.
-      codes: [n, bits] +-1 bf16 sign codes of the corpus rows, sharded
-        identically.
+      codes: [n, w] stage-1 corpus codes in the same representation as
+        ``q_signs``, sharded identically to the corpus.
+      code_scales: optional [n] per-row int8 dequantization scales (same
+        sharding as the codes) — the int8x8 prefilter.
+      q_code_scales: optional [q] per-query int8 scales, replicated
+        (requires ``code_scales``).
       shard_ids: optional [n] int32 global ids (same sharding); defaults
         to global row position.
       valid_per_shard: optional per-shard valid-row counts (ring
@@ -167,15 +174,21 @@ def sharded_twostage_topk(
     assert codes.shape[0] == n
     shard_rows = n // ndev
     local_pool = min(pool, shard_rows)
+    has_cs = code_scales is not None
+    has_qs = q_code_scales is not None
 
-    def local_search(q, qs, c_local, code_local, ids_local, valid):
-        # stage 1: approx-selected +-1 MXU scan over this shard's codes
-        # (sign dot ordering == ascending Hamming; ops/hamming.py)
+    def local_search(q, qs, c_local, code_local, ids_local, valid, *extra):
+        it = iter(extra)
+        cs = next(it) if has_cs else None
+        qcs = next(it) if has_qs else None
+        # stage 1: approx-selected MXU scan over this shard's codes (+-1
+        # sign dot ordering == ascending Hamming, ops/hamming.py; int8x8
+        # when scales are passed; plain ip for low-rank projections)
         _, cand = chunked_topk(
             qs, code_local, local_pool,
             chunk_size=shard_rows, metric="ip", mode="approx",
             recall_target=recall_target, score_dtype=jnp.bfloat16,
-            valid_count=valid[0],
+            valid_count=valid[0], corpus_scales=cs, query_scales=qcs,
         )
         # stage 2: exact full-dim re-rank of the local pool
         vals, idx = rerank_topk(
@@ -196,14 +209,24 @@ def sharded_twostage_topk(
     if valid_per_shard is None:
         valid_per_shard = jnp.full((ndev,), shard_rows, dtype=jnp.int32)
 
+    extra_args, extra_specs = [], []
+    if has_cs:
+        extra_args.append(code_scales)
+        extra_specs.append(P(axis))
+    if has_qs:
+        extra_args.append(q_code_scales)
+        extra_specs.append(P())
+
     fn = jax.shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis), P(axis),
+                  *extra_specs),
         out_specs=(P(), P()),
         check_vma=False,  # same scan-carry VMA caveat as sharded_topk
     )
-    return fn(queries, q_signs, corpus, codes, shard_ids, valid_per_shard)
+    return fn(queries, q_signs, corpus, codes, shard_ids, valid_per_shard,
+              *extra_args)
 
 
 def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):

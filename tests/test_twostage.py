@@ -412,6 +412,67 @@ class TestShardedTwoStage:
         np.testing.assert_array_equal(I1, I2)
         np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
 
+    def test_index_int8x8_prefilter(self, mesh, rng):
+        """The measured-fastest single-chip prefilter (int8x8) scales out:
+        per-shard int8 MXU stage-1 + exact full-dim re-rank; a full pool
+        makes the end-to-end result exact regardless of int8 noise."""
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        corpus = rng.standard_normal((512, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=24, capacity=512, mesh=mesh,
+                                   prefilter="int8x8")
+        assert idx.n_bits == 24  # full-width int8 rows
+        idx.add(corpus[:256])
+        idx.add(corpus[256:])  # streaming insert writes scales too
+        _, I = idx.search(q, 6, pool=64)  # 64/shard == whole shard
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
+        assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
+
+    def test_index_pca_prefilter(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        corpus = rng.standard_normal((512, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
+        proj = fit_pca(cn, 24)  # full-rank: stage 1 is lossless here
+        idx = ShardedTwoStageIndex(dim=24, capacity=512, mesh=mesh,
+                                   prefilter="pca", projector=proj)
+        idx.add(corpus)
+        _, I = idx.search(q, 6, pool=64)  # 64/shard == whole shard
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
+
+    @pytest.mark.parametrize("prefilter", ["int8x8", "pca"])
+    def test_int8x8_pca_save_load_restripe(self, mesh, tmp_path, rng,
+                                           prefilter):
+        import jax as _jax
+
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        corpus = rng.standard_normal((256, 16)).astype(np.float32)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        proj = None
+        if prefilter == "pca":
+            proj = fit_pca(
+                np.asarray(l2_normalize(jnp.asarray(corpus))), 16
+            )
+        idx = ShardedTwoStageIndex(dim=16, capacity=512, mesh=mesh,
+                                   prefilter=prefilter, projector=proj,
+                                   pool=48)
+        idx.add(corpus)
+        D1, I1 = idx.search(q, 5)
+        path = str(tmp_path / f"sts_{prefilter}")
+        idx.save(path)
+        mesh4 = create_mesh(devices=_jax.devices()[:4])
+        idx2 = ShardedTwoStageIndex.load(path, mesh=mesh4)
+        assert (idx2.prefilter, idx2.ndev, idx2.size) == (prefilter, 4, 256)
+        D2, I2 = idx2.search(q, 5)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
     def test_save_load_restripe(self, mesh, tmp_path, rng):
         import jax as _jax
 
