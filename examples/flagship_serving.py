@@ -185,12 +185,14 @@ def main():
         # root-node grid, but the title-cached forward still ran the text
         # backbone over all [B, Q, T] padded rows -- the keyword gather
         # removes the text encoder from the serving forward entirely
+        t0 = time.perf_counter()
         kws = sorted({a[2] or "" for d in data for a in d[0] if a[1] == "s"})
         qtable, kw_lookup = build_keyword_table(
             cfg, tok, kws, enc_mod, enc_vars, batch_size=args.embed_batch
         )
-        print(f"keyword table [{qtable.shape[0]} x {qtable.shape[1]}]",
-              flush=True)
+        t_kw_table = time.perf_counter() - t0
+        print(f"keyword table [{qtable.shape[0]} x {qtable.shape[1]}]: "
+              f"{t_kw_table:.1f}s", flush=True)
         encode = make_cached_encode_fn(enc_mod, enc_vars, table,
                                        query_table=qtable,
                                        kw_lookup=kw_lookup)
@@ -221,6 +223,7 @@ def main():
             "asin_num": cfg.asin_num, "queries": args.queries,
             "gen_s": round(t_gen, 1), "train_steps": steps,
             "train_s": round(t_train, 1), "title_table_s": round(t_table, 1),
+            "kw_table_s": round(t_kw_table, 1),
             "embed_s": round(t_embed, 1),
             "embed_sessions_per_s": round(embed_rate, 0),
         }
@@ -531,6 +534,8 @@ def main():
         "train_steps": meta["train_steps"],
         "train_s": meta["train_s"],
         "title_table_s": meta["title_table_s"],
+        "kw_table_s": meta.get("kw_table_s"),
+        "itq_fit_s": round(t_itq, 1),
         "embed_s": meta["embed_s"],
         "embed_sessions_per_s": meta["embed_sessions_per_s"],
         "modes": modes,
