@@ -255,6 +255,26 @@ def run_seed(seed: int, args) -> dict:
             scores[f"{tag}[a={a:g}]"] = get_ave_score(
                 topk_rows(f), test_data, corpus_sessions,
                 "all_product_type_score")
+    # reciprocal-rank fusion (Cormack & Clarke'09): rank-based, so it is
+    # immune to the two cosines living on different effective scales
+    # (dense scores concentrate near 1 on cone-collapsed encoders while
+    # overlap cosines spread over [0,1] — score averaging then lets one
+    # side dominate regardless of alpha)
+
+    def rrf(sim_a, sim_b, k0=60.0):
+        ra = np.empty_like(sim_a, dtype=np.int32)
+        rb = np.empty_like(sim_b, dtype=np.int32)
+        oa = np.argsort(-sim_a, axis=1, kind="stable")
+        ob = np.argsort(-sim_b, axis=1, kind="stable")
+        rows = np.arange(sim_a.shape[0])[:, None]
+        ra[rows, oa] = np.arange(sim_a.shape[1])[None, :]
+        rb[rows, ob] = np.arange(sim_b.shape[1])[None, :]
+        return 1.0 / (k0 + ra) + 1.0 / (k0 + rb)
+
+    for tag, sim in (("rrf_sknn", bin_sim), ("rrf_stan", stan_sim)):
+        scores[tag] = get_ave_score(
+            topk_rows(rrf(dense_sim, sim)), test_data, corpus_sessions,
+            "all_product_type_score")
     print(
         f"seed {seed}: "
         + "  ".join(f"{n}={v:.4f}" for n, v in scores.items())
