@@ -316,7 +316,8 @@ class SessionSearchEngine:
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None,
                dedup: bool = False, hybrid_alpha: Optional[float] = None,
-               overfetch: int = 4, hybrid_kind: str = "overlap"):
+               overfetch: int = 4, hybrid_kind: str = "overlap",
+               hybrid_fusion: str = "score"):
         """Full query path: sessions -> embed -> exact top-k.
         Returns (D, I). With ``dedup=True``, hits whose stored session
         duplicates an earlier hit's (same actions, e.g. inserted twice by a
@@ -333,9 +334,19 @@ class SessionSearchEngine:
         item-indicator cosine, test_amazon_filterd.py:48-57) or 'stan'
         (recency-decayed STAN cosine, :37-46). On overlap-hostile data the
         recency weighting is the stronger sparse signal by a wide margin
-        (docs/RESULTS.md round-3 adversarial protocol)."""
+        (docs/RESULTS.md round-3 adversarial protocol).
+
+        ``hybrid_fusion``: 'score' fuses the two cosines linearly with
+        ``hybrid_alpha``; 'rrf' uses reciprocal-rank fusion
+        ``1/(60+rank_dense) + 1/(60+rank_sparse)`` over the candidate set
+        (Cormack & Clarke'09) — rank-based, so it is immune to the scale
+        mismatch that makes score fusion land BELOW the better parent on
+        cone-collapsed encoders (measured: docs/RESULTS.md adversarial
+        alpha sweep; rrf_stan >= max(parents) per seed). ``hybrid_alpha``
+        still gates the hybrid path on (its value is ignored for 'rrf')."""
         k = k or self.cfg.retrieval_k
         assert hybrid_kind in ("overlap", "stan")
+        assert hybrid_fusion in ("score", "rrf")
         if hybrid_alpha is not None and self.index.metric != "cos":
             raise ValueError(
                 "hybrid_alpha fuses a cosine with an overlap cosine; "
@@ -364,14 +375,15 @@ class SessionSearchEngine:
                     w = 1.0 / (len(items) ** 0.5) if items else 0.0
                     q_w.append({i: w for i in items})
             D, I = self._hybrid_rerank(
-                D2, gid, q_w, k, float(hybrid_alpha), hybrid_kind
+                D2, gid, q_w, k, float(hybrid_alpha), hybrid_kind,
+                fusion=hybrid_fusion,
             )
         self.timer.totals["search"] += time.perf_counter() - t0
         self.timer.counts["search"] += 1
         return D, I
 
     def _hybrid_rerank(self, D2, gid, q_weights, k: int, alpha: float,
-                       kind: str = "overlap"):
+                       kind: str = "overlap", fusion: str = "score"):
         """Vectorized fusion re-rank: ``alpha * dense + (1-alpha) * sparse``
         over the [q, m] candidate matrix, one numpy pass for the whole batch
         (no per-candidate Python; VERDICT r1 item 7). ``q_weights`` is one
@@ -437,7 +449,26 @@ class SessionSearchEngine:
         cm = np.zeros(total + 1, dtype=np.float64)
         np.cumsum(contrib, out=cm[1:])
         ov = (cm[ends] - cm[seg0]).reshape(q, m).astype(np.float32)
-        fused = alpha * D2 + np.float32(1.0 - alpha) * ov
+        if fusion == "rrf":
+            # reciprocal-rank fusion over the candidate set: rank each
+            # system independently (dense rank = column order, since D2
+            # arrives descending; sparse rank by ov with the dense order
+            # as the tiebreak so candidates the sparse term cannot
+            # distinguish keep their dense preference)
+            rr = np.repeat(np.arange(q, dtype=np.int64), m)
+            cc = np.tile(np.arange(m, dtype=np.int64), q)
+            # missing slots sort last so real candidates get contiguous
+            # sparse ranks; ties keep the dense (column) order
+            ovr = np.where(present, ov, -np.inf)
+            sp_order = np.lexsort((cc, -ovr.ravel(), rr)).reshape(q, m) % m
+            cols = cc.reshape(q, m)
+            sp_rank = np.empty((q, m), np.int64)
+            np.put_along_axis(sp_rank, sp_order, cols, axis=1)
+            fused = (
+                1.0 / (60.0 + cols) + 1.0 / (60.0 + sp_rank)
+            ).astype(np.float32)
+        else:
+            fused = alpha * D2 + np.float32(1.0 - alpha) * ov
         fused[~present] = -np.inf
         # top-k per row; ties keep the dense rank order (column tiebreak)
         rowsf = np.repeat(np.arange(q), m)

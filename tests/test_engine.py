@@ -281,6 +281,45 @@ class TestVectorizedQueryPaths:
         np.testing.assert_array_equal(I, Is)
         np.testing.assert_allclose(D, Ds, atol=1e-5)
 
+    def _slow_rrf(self, eng, D2, gid, q_sets, k, k0=60.0):
+        from sessionsimilaritysearch_tpu.engine import _overlap_cos
+
+        q, m = D2.shape
+        D = np.full((q, k), -np.inf, dtype=np.float32)
+        I = np.full((q, k), -1, dtype=np.int64)
+        for r in range(q):
+            present = [c for c in range(m) if gid[r, c] >= 0]
+            ovs = {
+                c: _overlap_cos(q_sets[r], eng._items[int(gid[r, c])])
+                for c in present
+            }
+            sp_sorted = sorted(present, key=lambda c: (-ovs[c], c))
+            sp_rank = {c: w for w, c in enumerate(sp_sorted)}
+            fused = sorted(
+                ((1.0 / (k0 + c) + 1.0 / (k0 + sp_rank[c]), c)
+                 for c in present),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for w, (s, c) in enumerate(fused[:k]):
+                D[r, w], I[r, w] = s, gid[r, c]
+        return D, I
+
+    def test_hybrid_rerank_rrf_matches_reference(self, rng):
+        eng = _bare_engine(512, rng)
+        q, m, k = 16, 40, 10
+        D2 = np.sort(
+            rng.standard_normal((q, m)).astype(np.float32), axis=1
+        )[:, ::-1].copy()
+        gid = np.stack([
+            rng.choice(512, size=m, replace=False) for _ in range(q)
+        ]).astype(np.int64)
+        gid[:, -3:] = -1  # short rows: missing slots must not shift ranks
+        q_sets = [eng._items[int(i)] for i in rng.integers(0, 512, size=q)]
+        D, I = eng._hybrid_rerank(D2, gid, q_sets, k, 0.5, fusion="rrf")
+        Ds, Is = self._slow_rrf(eng, D2, gid, q_sets, k)
+        np.testing.assert_array_equal(I, Is)
+        np.testing.assert_allclose(D, Ds, atol=1e-6)
+
     def test_dedup_matches_reference(self, rng):
         eng = _bare_engine(64, rng)
         # force duplicates: second half of metadata mirrors the first
