@@ -151,6 +151,9 @@ class SessionSearchEngine:
         self._item_wstan: List[float] = []  # STAN weight per _item_flat row
         self._item_lens: List[int] = []
         self._meta_cache: Optional[tuple] = None
+        # gids dropped via remove_sessions in sharded mode (stable-id
+        # indexes keep tombstoned metadata rows; single-chip compacts)
+        self._removed: set = set()
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -312,6 +315,104 @@ class SessionSearchEngine:
             self._ingest_thread.join()
             self._ingest_thread = None
             self._ingest_q = None
+
+    # ------------------------------------------------------------------
+    def _rebuild_meta(self) -> None:
+        """Recompute every per-row metadata structure from
+        ``self.sessions`` (used by restore and by single-chip removal)."""
+        self._canon = [_session_key(s) for s in self.sessions]
+        self._items = [_item_set(s) for s in self.sessions]
+        self._key_to_id = {}
+        self._canon_ids = [
+            self._key_to_id.setdefault(key, len(self._key_to_id))
+            for key in self._canon
+        ]
+        flat: List[int] = []
+        wstan: List[float] = []
+        lens: List[int] = []
+        for sess, items in zip(self.sessions, self._items):
+            sw = _item_stan_weights(sess)
+            ids = list(items)
+            flat.extend(ids)
+            wstan.extend(sw.get(i, 0.0) for i in ids)
+            lens.append(len(ids))
+        # lens seals LAST on append; on shrink assign it FIRST so a racing
+        # _np_meta never computes offsets past the (shorter) new arrays
+        self._item_lens = lens
+        self._item_flat = flat
+        self._item_wstan = wstan
+        self._meta_cache = None
+
+    def remove_sessions(self, data: Optional[Sequence] = None,
+                        ids: Optional[Sequence] = None) -> int:
+        """Delete sessions from the serving corpus (the engine counterpart
+        of ``faiss.Index.remove_ids`` — expiry/erasure for streaming
+        corpora; the reference's build-once indexes have no delete path).
+
+        Pass EITHER ``data`` (raw sessions or (prefix, future) tuples —
+        every stored row with the same canonical content is removed, plus
+        matching not-yet-inserted pending rows) OR ``ids`` (row ids as
+        returned by :meth:`search`).
+
+        Id semantics follow the underlying index: sharded corpora keep
+        STABLE global ids (removed ids are never reused or returned), while
+        single-chip indexes compact positionally exactly like FAISS
+        ``remove_ids`` — ids already handed out renumber, so resolve
+        content -> id -> remove without interleaved inserts/removals.
+        This is a maintenance operation: it takes the ingest lock (safe
+        against concurrent ``add_sessions_async``), but queries running
+        concurrently with a single-chip removal may transiently read
+        renumbered hybrid/dedup metadata. Returns rows removed."""
+        assert (data is None) != (ids is None), (
+            "pass exactly one of data= or ids="
+        )
+        with self._ingest_lock:
+            if data is not None:
+                keys = {
+                    _session_key(
+                        d[0] if isinstance(d, tuple) and len(d) == 2 else d
+                    )
+                    for d in data
+                }
+                # drop matching rows still waiting in the stripe buffer
+                self._pending = [
+                    d for d in self._pending
+                    if _session_key(
+                        d[0] if isinstance(d, tuple) and len(d) == 2 else d
+                    ) not in keys
+                ]
+                rows = [
+                    i for i, key in enumerate(self._canon)
+                    if key in keys and i not in self._removed
+                ]
+            else:
+                rows = [int(i) for i in ids if int(i) >= 0]
+            if not rows:
+                return 0
+            from sessionsimilaritysearch_tpu.index.dense import (
+                compaction_plan,
+            )
+            from sessionsimilaritysearch_tpu.index.sharded import (
+                ShardedDenseIndex,
+            )
+            from sessionsimilaritysearch_tpu.index.twostage import (
+                ShardedTwoStageIndex,
+            )
+
+            if isinstance(self.index,
+                          (ShardedDenseIndex, ShardedTwoStageIndex)):
+                removed = self.index.remove_ids(rows)
+                self._removed.update(rows)
+                return removed
+            src, dst, new_size = compaction_plan(self.index.ntotal, rows)
+            removed = self.index.remove_ids(rows)
+            # mirror the index's swap-with-last compaction on the
+            # row-aligned session list, then rebuild derived metadata
+            for s, d in zip(src.tolist(), dst.tolist()):
+                self.sessions[d] = self.sessions[s]
+            del self.sessions[new_size:]
+            self._rebuild_meta()
+            return removed
 
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None,
@@ -598,18 +699,15 @@ class SessionSearchEngine:
                 blob = pickle.load(f)
             self.sessions = list(blob["sessions"])
             self._pending = list(blob["pending"])
-            self._canon = [_session_key(s) for s in self.sessions]
-            self._items = [_item_set(s) for s in self.sessions]
-            self._key_to_id = {}
-            self._canon_ids = [
-                self._key_to_id.setdefault(key, len(self._key_to_id))
-                for key in self._canon
-            ]
-            self._item_flat, self._item_wstan, self._item_lens = [], [], []
-            for sess, items in zip(self.sessions, self._items):
-                sw = _item_stan_weights(sess)
-                ids = list(items)
-                self._item_flat.extend(ids)
-                self._item_wstan.extend(sw.get(i, 0.0) for i in ids)
-                self._item_lens.append(len(ids))
-            self._meta_cache = None
+            self._rebuild_meta()
+            # stable-id (sharded) indexes keep tombstoned metadata rows
+            # for removed gids: rebuild the removed set from the index's
+            # surviving ids so content-keyed removal stays consistent
+            self._removed = set()
+            host_ids = getattr(self.index, "_host_ids", None)
+            if host_ids is not None:
+                present = set(host_ids[host_ids >= 0].tolist())
+                self._removed = {
+                    gid for gid in range(self.index._next_id)
+                    if gid not in present
+                }

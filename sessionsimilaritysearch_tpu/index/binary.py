@@ -28,7 +28,12 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from sessionsimilaritysearch_tpu.index.dense import _write_rows
+from sessionsimilaritysearch_tpu.index.dense import (
+    _move_rows,
+    _padded_moves,
+    _write_rows,
+    compaction_plan,
+)
 from sessionsimilaritysearch_tpu.ops import hamming
 
 # Pallas kernel grid units: buffers are padded so any power-of-two
@@ -98,6 +103,21 @@ class BinaryIndex:
             self._buf, rows, jnp.asarray(self.size, jnp.int32)
         )
         self.size += m
+
+    def remove_ids(self, ids) -> int:
+        """Remove codes by row id (``faiss.IndexBinaryFlat.remove_ids``
+        counterpart). Swap-with-last compaction: surviving row ids change
+        exactly as in FAISS (see index.dense.compaction_plan); freed
+        capacity is reusable; search never retraces. Returns the count."""
+        src, dst, new_size = compaction_plan(self.size, ids)
+        if src.size:
+            # pad with the buffer's last physical row (packed mode rounds
+            # the buffer up past `capacity`, never a real destination)
+            s, d = _padded_moves(src, dst, self._buf.shape[0] - 1)
+            self._buf = _move_rows(self._buf, s, d)
+        removed = self.size - new_size
+        self.size = new_size
+        return removed
 
     def _pallas_wanted(self, k: int) -> bool:
         if self.mode != "packed" or self._pallas_broken:

@@ -30,6 +30,60 @@ def _write_rows(buf: jnp.ndarray, rows: jnp.ndarray, start: jnp.ndarray):
     return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _move_rows(buf: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray):
+    """Compaction scatter ``buf[dst] = buf[src]`` (rank-generic). Padded
+    identity moves (src == dst == a row past the surviving range) write a
+    slot its own value, so duplicate pad targets stay deterministic."""
+    return buf.at[dst].set(buf[src])
+
+
+def compaction_plan(size: int, ids) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Swap-with-last removal plan over a [0, size) row range.
+
+    Removing ``ids`` compacts the survivors into [0, new_size) by moving
+    each surviving tail row (>= new_size) into a removed slot below
+    new_size — O(#removed) moves, no full-buffer rewrite, and row order
+    outside the moved set is untouched. Returns (src, dst, new_size):
+    equal-length int32 arrays such that after ``buf[dst] = buf[src]`` the
+    first new_size rows are exactly the survivors. This is the counterpart
+    of FAISS ``remove_ids`` renumbering semantics (the reference's flat
+    indexes, fine_tune_ours.py:844-849): surviving rows move ids.
+    """
+    ids = np.unique(np.asarray(ids, np.int64).reshape(-1))
+    if ids.size == 0:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), size
+    if ids[0] < 0 or ids[-1] >= size:
+        raise ValueError(
+            f"remove ids must lie in [0, {size}); got range "
+            f"[{ids[0]}, {ids[-1]}]"
+        )
+    new_size = size - ids.size
+    holes = ids[ids < new_size]
+    tail_survivors = np.setdiff1d(
+        np.arange(new_size, size, dtype=np.int64), ids, assume_unique=True
+    )
+    return (
+        tail_survivors.astype(np.int32),
+        holes.astype(np.int32),
+        int(new_size),
+    )
+
+
+def _padded_moves(
+    src: np.ndarray, dst: np.ndarray, pad_row: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad a move list to the next power of two (min 8) with identity
+    moves of ``pad_row`` so variable-size removals compile O(log capacity)
+    scatter programs instead of one per distinct count. ``pad_row`` must
+    never be a real destination (real dsts are < new_size <= pad_row)."""
+    p = max(8, 1 << (int(src.size) - 1).bit_length())
+    s = np.full(p, pad_row, np.int32)
+    d = np.full(p, pad_row, np.int32)
+    s[: src.size], d[: dst.size] = src, dst
+    return jnp.asarray(s), jnp.asarray(d)
+
+
 @jax.jit
 def _quantize_rows_int8(emb: jnp.ndarray):
     """Per-row symmetric int8: code = round(row / s), s = max|row| / 127.
@@ -152,6 +206,28 @@ class DenseIndex:
             emb = emb.astype(self.dtype)
         self._buf = _write_rows(self._buf, emb, jnp.asarray(self.size, jnp.int32))
         self.size += m
+
+    def remove_ids(self, ids) -> int:
+        """Remove rows by index (``faiss.Index.remove_ids`` counterpart;
+        the reference's flat indexes expose exactly this maintenance op —
+        session corpora need expiry/erasure, fine_tune_ours.py:844-849).
+
+        Surviving tail rows compact into the freed slots (swap-with-last),
+        so REMAINING ROW IDS CHANGE exactly as in FAISS: callers holding
+        external row-aligned metadata must apply the same ``compaction_plan``
+        moves (SessionSearchEngine.remove_sessions does). O(#removed) device
+        work; freed capacity is immediately reusable by :meth:`add`; the
+        search program never retraces (fixed buffer + valid_count). Returns
+        the number of rows removed."""
+        src, dst, new_size = compaction_plan(self.size, ids)
+        if src.size:
+            s, d = _padded_moves(src, dst, self.capacity - 1)
+            self._buf = _move_rows(self._buf, s, d)
+            if self.quantize:
+                self._scales = _move_rows(self._scales, s, d)
+        removed = self.size - new_size
+        self.size = new_size
+        return removed
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:

@@ -18,9 +18,50 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sessionsimilaritysearch_tpu.index.dense import _quantize_rows_int8
+from sessionsimilaritysearch_tpu.index.dense import (
+    _quantize_rows_int8,
+    compaction_plan,
+)
 from sessionsimilaritysearch_tpu.ops import topk as topk_ops
 from sessionsimilaritysearch_tpu.parallel.collectives import sharded_topk
+
+
+def plan_sharded_removal(host_ids, fills, gids):
+    """Per-shard swap-with-last plans for removing global ids from a
+    striped corpus. ``host_ids``: [ndev, shard_rows] host mirror of each
+    slot's global id (-1 = empty); ``fills``: [ndev] per-shard fill.
+
+    Returns (src [ndev, P], dst [ndev, P], new_fills [ndev]) with every
+    shard's move list padded to a common power-of-two length P (min 8)
+    using identity moves of the shard's LAST slot (never a real
+    destination), so removals compile O(log shard_rows) scatter programs.
+    Unlike the single-chip compaction, global ids move WITH their rows —
+    surviving ids never change. Raises if any gid is absent."""
+    ndev, shard_rows = host_ids.shape
+    gids = np.unique(np.asarray(gids, np.int64).reshape(-1))
+    plans = []
+    found = 0
+    for s in range(ndev):
+        valid = host_ids[s, : fills[s]]
+        local = np.flatnonzero(np.isin(valid, gids))
+        found += local.size
+        plans.append(compaction_plan(int(fills[s]), local))
+    if found != gids.size:
+        present = np.isin(gids, host_ids[host_ids >= 0])
+        missing = gids[~present]
+        raise ValueError(
+            f"{missing.size} ids not present (already removed or never "
+            f"inserted), e.g. {missing[:5].tolist()}"
+        )
+    width = max(max((p[0].size for p in plans), default=0), 1)
+    P = max(8, 1 << (width - 1).bit_length())
+    src = np.full((ndev, P), shard_rows - 1, np.int32)
+    dst = np.full((ndev, P), shard_rows - 1, np.int32)
+    new_fills = np.empty(ndev, np.int64)
+    for s, (ps, pd, nf) in enumerate(plans):
+        src[s, : ps.size], dst[s, : pd.size] = ps, pd
+        new_fills[s] = nf
+    return src, dst, new_fills
 
 
 class ShardedDenseIndex:
@@ -76,8 +117,18 @@ class ShardedDenseIndex:
             jax.device_put(jnp.zeros((capacity,), jnp.float32), sh1)
             if quantize else None
         )
-        self.size = 0  # total rows (== ndev * per-shard fill)
+        self.size = 0  # total valid rows (sum of per-shard fills)
+        # per-shard fill counts: equal while the index is append-only,
+        # divergent after remove_ids (searches mask per shard)
+        self._fill = np.zeros(self.ndev, np.int64)
+        # global ids are STABLE under removal (they move with their rows),
+        # so this counter never reuses an id
+        self._next_id = 0
+        # host mirror of each slot's global id, for locating removals
+        # without pulling the device ids
+        self._host_ids = np.full((self.ndev, self.shard_rows), -1, np.int64)
         self._write_fn = self._make_write_fn()
+        self._move_fn = None  # built on first remove_ids
 
     def _make_write_fn(self):
         axis = self.axis
@@ -119,8 +170,7 @@ class ShardedDenseIndex:
             f"insert batch {m} not divisible by {self.ndev} shards"
         )
         per = m // self.ndev
-        local_fill = self.size // self.ndev
-        if local_fill + per > self.shard_rows:
+        if int(self._fill.max()) + per > self.shard_rows:
             raise ValueError("sharded index full")
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
@@ -130,13 +180,13 @@ class ShardedDenseIndex:
         else:
             emb = emb.astype(self.dtype)
         # row i of the batch -> shard i // per, preserving global id order
-        ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
+        ids = jnp.arange(self._next_id, self._next_id + m, dtype=jnp.int32)
         sh = NamedSharding(self.mesh, P(self.axis, None))
         sh1 = NamedSharding(self.mesh, P(self.axis))
         rows = jax.device_put(emb, sh)
         row_ids = jax.device_put(ids, sh1)
         start = jax.device_put(
-            jnp.full((self.ndev,), local_fill, dtype=jnp.int32), sh1
+            jnp.asarray(self._fill, dtype=jnp.int32), sh1
         )
         if self.quantize:
             self._buf, self._ids, self._scales = self._write_fn(
@@ -147,7 +197,72 @@ class ShardedDenseIndex:
             self._buf, self._ids = self._write_fn(
                 self._buf, self._ids, rows, row_ids, start
             )
+        for s in range(self.ndev):
+            f = int(self._fill[s])
+            self._host_ids[s, f : f + per] = np.arange(
+                self._next_id + s * per, self._next_id + (s + 1) * per
+            )
+        self._next_id += m
+        self._fill += per
         self.size += m
+
+    def _make_move_fn(self):
+        axis = self.axis
+        quantized = self.quantize is not None
+
+        def move(buf, ids, src, dst, *sc):
+            out = (buf.at[dst].set(buf[src]), ids.at[dst].set(ids[src]))
+            if quantized:
+                (scales,) = sc
+                out += (scales.at[dst].set(scales[src]),)
+            return out
+
+        specs = (P(axis, None), P(axis), P(axis), P(axis))
+        extra = (P(axis),) if quantized else ()
+        return jax.jit(
+            jax.shard_map(
+                move, mesh=self.mesh, in_specs=specs + extra,
+                out_specs=(P(axis, None), P(axis)) + extra,
+            ),
+            donate_argnums=(0, 1, 4) if quantized else (0, 1),
+        )
+
+    def remove_ids(self, gids) -> int:
+        """Remove rows by GLOBAL id (``faiss.Index.remove_ids``
+        counterpart, maintenance op for expiry/erasure). Each owning shard
+        compacts swap-with-last locally — global ids move WITH their rows,
+        so surviving ids are STABLE (unlike the single-chip DenseIndex,
+        whose results are positional); callers' id-keyed metadata needs no
+        renumbering. Freed capacity is reusable per shard; searches never
+        retrace (fixed buffers + per-shard valid counts). Returns the
+        number of rows removed; raises if any id is absent."""
+        gids = np.unique(np.asarray(gids, np.int64).reshape(-1))
+        if gids.size == 0:
+            return 0
+        src, dst, new_fills = plan_sharded_removal(
+            self._host_ids, self._fill, gids
+        )
+        if self._move_fn is None:
+            self._move_fn = self._make_move_fn()
+        sh1 = NamedSharding(self.mesh, P(self.axis))
+        args = [
+            self._buf, self._ids,
+            jax.device_put(jnp.asarray(src.reshape(-1)), sh1),
+            jax.device_put(jnp.asarray(dst.reshape(-1)), sh1),
+        ]
+        if self.quantize:
+            out = self._move_fn(*args, self._scales)
+            self._buf, self._ids, self._scales = out
+        else:
+            self._buf, self._ids = self._move_fn(*args)
+        # mirror the moves on the host id map, then truncate each shard
+        for s in range(self.ndev):
+            self._host_ids[s, dst[s]] = self._host_ids[s, src[s]]
+            self._host_ids[s, new_fills[s] :] = -1
+        removed = self.size - int(new_fills.sum())
+        self._fill = new_fills
+        self.size = int(new_fills.sum())
+        return removed
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         qdtype = jnp.bfloat16 if self.quantize else self.dtype
@@ -165,9 +280,8 @@ class ShardedDenseIndex:
             queries, query_scales = _quantize_rows_int8(
                 queries.astype(jnp.float32)
             )
-        local_fill = self.size // self.ndev
         valid = jax.device_put(
-            jnp.full((self.ndev,), local_fill, dtype=jnp.int32),
+            jnp.asarray(self._fill, dtype=jnp.int32),
             NamedSharding(self.mesh, P(self.axis)),
         )
         vals, ids = sharded_topk(
@@ -202,6 +316,8 @@ class ShardedDenseIndex:
             dtype=jnp.dtype(self.dtype).name,
             ids=np.asarray(self._ids),
             size=self.size,
+            fills=self._fill,
+            next_id=self._next_id,
             dim=self.dim,
             capacity=self.capacity,
             metric=self.metric,
@@ -243,21 +359,29 @@ class ShardedDenseIndex:
         )
         saved_ndev = int(z.get("ndev", idx.ndev))
         size = int(z["size"])
+        fills = (
+            np.asarray(z["fills"], np.int64) if "fills" in z
+            else np.full(saved_ndev, size // saved_ndev, np.int64)
+        )
+        next_id = int(z["next_id"]) if "next_id" in z else size
         if saved_ndev != idx.ndev:
-            # a partially-filled buffer's valid rows sit at the head of each
-            # OLD shard; re-stripe them so the per-shard fill mask stays
-            # correct on the new mesh
+            # each OLD shard's valid rows sit at its head (fills[s] of
+            # them — unequal after removals); re-stripe so the per-shard
+            # fill mask stays correct on the new mesh
             if size % idx.ndev != 0:
                 raise ValueError(
                     f"index saved on {saved_ndev} shards holds {size} rows, "
                     f"not divisible across {idx.ndev} shards"
                 )
             old_rows = int(z["capacity"]) // saved_ndev
-            per_old = size // saved_ndev
             buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
             ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
-            flat_buf = buf[:, :per_old].reshape(size, idx.dim)
-            flat_ids = ids[:, :per_old].reshape(size)
+            flat_buf = np.concatenate(
+                [buf[s, : fills[s]] for s in range(saved_ndev)]
+            )
+            flat_ids = np.concatenate(
+                [ids[s, : fills[s]] for s in range(saved_ndev)]
+            )
             order = np.argsort(flat_ids)  # restore insertion order
             # skip normalization: rows were normalized at original add
             # (and, in int8 mode, quantized -- codes round-trip bit-exactly)
@@ -274,11 +398,10 @@ class ShardedDenseIndex:
                 NamedSharding(mesh, P(idx.axis)),
             )
             if quantize:
-                flat_scales = (
-                    np.asarray(z["scales"])
-                    .reshape(saved_ndev, old_rows)[:, :per_old]
-                    .reshape(size)[order]
-                )
+                sca = np.asarray(z["scales"]).reshape(saved_ndev, old_rows)
+                flat_scales = np.concatenate(
+                    [sca[s, : fills[s]] for s in range(saved_ndev)]
+                )[order]
                 scales = jax.device_put(
                     jnp.asarray(flat_scales, jnp.float32),
                     NamedSharding(mesh, P(idx.axis)),
@@ -292,6 +415,12 @@ class ShardedDenseIndex:
                     idx._buf, idx._ids, rows, row_ids, start
                 )
             idx.size = size
+            per_new = size // idx.ndev
+            idx._fill = np.full(idx.ndev, per_new, np.int64)
+            idx._host_ids[:, :per_new] = (
+                flat_ids[order].reshape(idx.ndev, per_new)
+            )
+            idx._next_id = next_id
             return idx
         sh = NamedSharding(mesh, P(idx.axis, None))
         sh1 = NamedSharding(mesh, P(idx.axis))
@@ -302,4 +431,11 @@ class ShardedDenseIndex:
                 jnp.asarray(z["scales"], jnp.float32), sh1
             )
         idx.size = size
+        idx._fill = fills.copy()
+        idx._next_id = next_id
+        all_ids = np.asarray(z["ids"], np.int64).reshape(
+            idx.ndev, idx.shard_rows
+        )
+        for s in range(idx.ndev):
+            idx._host_ids[s, : fills[s]] = all_ids[s, : fills[s]]
         return idx

@@ -34,8 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from sessionsimilaritysearch_tpu.index.dense import (
+    _move_rows,
+    _padded_moves,
     _quantize_rows_int8,
     _write_rows,
+    compaction_plan,
 )
 from sessionsimilaritysearch_tpu.ops import topk as topk_ops
 from sessionsimilaritysearch_tpu.ops.hamming import sign_topk
@@ -186,6 +189,22 @@ class TwoStageIndex:
             codes = self._project(emb)
         self._codes = _write_rows(self._codes, codes, start)
         self.size += m
+
+    def remove_ids(self, ids) -> int:
+        """Remove rows by id (FAISS ``remove_ids`` semantics — surviving
+        row ids renumber per index.dense.compaction_plan). The re-rank
+        rows, stage-1 codes, and int8 scales move together so both stages
+        stay row-aligned. Returns the number of rows removed."""
+        src, dst, new_size = compaction_plan(self.size, ids)
+        if src.size:
+            s, d = _padded_moves(src, dst, self.capacity - 1)
+            self._buf = _move_rows(self._buf, s, d)
+            self._codes = _move_rows(self._codes, s, d)
+            if self.prefilter == "int8x8":
+                self._scales = _move_rows(self._scales, s, d)
+        removed = self.size - new_size
+        self.size = new_size
+        return removed
 
     def _stage1(self, qn: jnp.ndarray, pool: int) -> jnp.ndarray:
         vc = jnp.asarray(self.size, jnp.int32)
@@ -407,7 +426,14 @@ class ShardedTwoStageIndex:
         self._ids = jax.device_put(
             jnp.full((capacity,), -1, jnp.int32), sh1
         )
+        # removal bookkeeping (ShardedDenseIndex conventions): per-shard
+        # fills diverge after remove_ids; global ids are stable and never
+        # reused; the host mirror locates ids without pulling device state
+        self._fill = np.zeros(self.ndev, np.int64)
+        self._next_id = 0
+        self._host_ids = np.full((self.ndev, self.shard_rows), -1, np.int64)
         self._write_fn = self._make_write_fn()
+        self._move_fn = None  # built on first remove_ids
 
     def _make_write_fn(self):
         from jax.sharding import PartitionSpec as P
@@ -469,15 +495,15 @@ class ShardedTwoStageIndex:
         assert m % self.ndev == 0, (
             f"insert batch {m} not divisible by {self.ndev} shards"
         )
-        local_fill = self.size // self.ndev
-        if local_fill + m // self.ndev > self.shard_rows:
+        per = m // self.ndev
+        if int(self._fill.max()) + per > self.shard_rows:
             raise ValueError("sharded two-stage index full")
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
         codes, scales = self._codes_of(emb)
-        ids = jnp.arange(self.size, self.size + m, dtype=jnp.int32)
+        ids = jnp.arange(self._next_id, self._next_id + m, dtype=jnp.int32)
         start = jax.device_put(
-            jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
+            jnp.asarray(self._fill, jnp.int32), self._id_sh
         )
         args = [
             self._buf, self._codes, self._ids,
@@ -494,7 +520,77 @@ class ShardedTwoStageIndex:
             )
         else:
             self._buf, self._codes, self._ids = self._write_fn(*args)
+        for s in range(self.ndev):
+            f = int(self._fill[s])
+            self._host_ids[s, f : f + per] = np.arange(
+                self._next_id + s * per, self._next_id + (s + 1) * per
+            )
+        self._next_id += m
+        self._fill += per
         self.size += m
+
+    def _make_move_fn(self):
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.axis
+        with_scales = self.prefilter == "int8x8"
+
+        def move(buf, codes, ids, src, dst, *sc):
+            out = (
+                buf.at[dst].set(buf[src]),
+                codes.at[dst].set(codes[src]),
+                ids.at[dst].set(ids[src]),
+            )
+            if with_scales:
+                (scales,) = sc
+                out += (scales.at[dst].set(scales[src]),)
+            return out
+
+        specs = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis))
+        extra = (P(axis),) if with_scales else ()
+        return jax.jit(
+            jax.shard_map(
+                move, mesh=self.mesh, in_specs=specs + extra,
+                out_specs=(P(axis, None), P(axis, None), P(axis)) + extra,
+            ),
+            donate_argnums=(0, 1, 2, 5) if with_scales else (0, 1, 2),
+        )
+
+    def remove_ids(self, gids) -> int:
+        """Remove rows by GLOBAL id (stable-id semantics, matching
+        ShardedDenseIndex.remove_ids): each owning shard compacts
+        swap-with-last across rows, codes, ids, and scales together;
+        surviving global ids never change. Returns rows removed."""
+        from sessionsimilaritysearch_tpu.index.sharded import (
+            plan_sharded_removal,
+        )
+
+        gids = np.unique(np.asarray(gids, np.int64).reshape(-1))
+        if gids.size == 0:
+            return 0
+        src, dst, new_fills = plan_sharded_removal(
+            self._host_ids, self._fill, gids
+        )
+        if self._move_fn is None:
+            self._move_fn = self._make_move_fn()
+        args = [
+            self._buf, self._codes, self._ids,
+            jax.device_put(jnp.asarray(src.reshape(-1)), self._id_sh),
+            jax.device_put(jnp.asarray(dst.reshape(-1)), self._id_sh),
+        ]
+        if self.prefilter == "int8x8":
+            self._buf, self._codes, self._ids, self._scales = (
+                self._move_fn(*args, self._scales)
+            )
+        else:
+            self._buf, self._codes, self._ids = self._move_fn(*args)
+        for s in range(self.ndev):
+            self._host_ids[s, dst[s]] = self._host_ids[s, src[s]]
+            self._host_ids[s, new_fills[s] :] = -1
+        removed = self.size - int(new_fills.sum())
+        self._fill = new_fills
+        self.size = int(new_fills.sum())
+        return removed
 
     def search(
         self, queries, k: int, pool: Optional[int] = None
@@ -517,9 +613,8 @@ class ShardedTwoStageIndex:
             if self.metric == "cos" else queries
         )
         q_codes, q_scales = self._codes_of(qn)
-        local_fill = self.size // self.ndev
         valid = jax.device_put(
-            jnp.full((self.ndev,), local_fill, jnp.int32), self._id_sh
+            jnp.asarray(self._fill, jnp.int32), self._id_sh
         )
         vals, ids = sharded_twostage_topk(
             qn.astype(self.store_dtype), q_codes, self._buf, self._codes,
@@ -552,6 +647,8 @@ class ShardedTwoStageIndex:
             buf=np.asarray(self._buf.astype(jnp.float32)),
             ids=np.asarray(self._ids),
             size=self.size,
+            fills=self._fill,
+            next_id=self._next_id,
             dim=self.dim,
             capacity=self.capacity,
             ndev=self.ndev,
@@ -604,7 +701,10 @@ class ShardedTwoStageIndex:
                 )
             saved_ndev = int(z["ndev"])
             old_rows = int(z["capacity"]) // saved_ndev
-            per_old = size // saved_ndev
+            fills = (
+                np.asarray(z["fills"], np.int64) if "fills" in z
+                else np.full(saved_ndev, size // saved_ndev, np.int64)
+            )
             raw_cod = (
                 np.asarray(z["codes"]) if "codes" in z
                 else np.asarray(z["codes_f16"])
@@ -612,9 +712,15 @@ class ShardedTwoStageIndex:
             buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
             cod = raw_cod.reshape(saved_ndev, old_rows, idx.n_bits)
             ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
-            flat_buf = buf[:, :per_old].reshape(size, idx.dim)
-            flat_cod = cod[:, :per_old].reshape(size, idx.n_bits)
-            flat_ids = ids[:, :per_old].reshape(size)
+            flat_buf = np.concatenate(
+                [buf[s, : fills[s]] for s in range(saved_ndev)]
+            )
+            flat_cod = np.concatenate(
+                [cod[s, : fills[s]] for s in range(saved_ndev)]
+            )
+            flat_ids = np.concatenate(
+                [ids[s, : fills[s]] for s in range(saved_ndev)]
+            )
             order = np.argsort(flat_ids)  # restore insertion order
             rows = jnp.asarray(flat_buf[order], jnp.float32)
             codes = (
@@ -634,7 +740,9 @@ class ShardedTwoStageIndex:
             ]
             if prefilter == "int8x8":
                 sca = np.asarray(z["scales"]).reshape(saved_ndev, old_rows)
-                flat_sca = sca[:, :per_old].reshape(size)[order]
+                flat_sca = np.concatenate(
+                    [sca[s, : fills[s]] for s in range(saved_ndev)]
+                )[order]
                 args.insert(7, idx._scales)
                 args.append(jax.device_put(
                     jnp.asarray(flat_sca, jnp.float32), idx._id_sh
@@ -645,6 +753,15 @@ class ShardedTwoStageIndex:
             else:
                 idx._buf, idx._codes, idx._ids = idx._write_fn(*args)
             idx.size = size
+            per_new = size // idx.ndev
+            idx._fill = np.full(idx.ndev, per_new, np.int64)
+            idx._host_ids[:, :per_new] = (
+                np.asarray(flat_ids[order], np.int64)
+                .reshape(idx.ndev, per_new)
+            )
+            idx._next_id = (
+                int(z["next_id"]) if "next_id" in z else size
+            )
         return idx
 
 
