@@ -129,13 +129,16 @@ class SessionSearchEngine:
         self.timer = PhaseTimer()
         self.sessions: List = []  # retained for metric reports
         self._pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
-        # sessions waiting until a full stripe is available (sharded mode)
+        # (item, stamp) pairs waiting until a full stripe is available
+        # (sharded mode buffers whole multiples of the shard count)
         self._pending: List = []
         # background ingest (add_sessions_async / flush)
         self._ingest_q: Optional[queue_mod.Queue] = None
         self._ingest_thread: Optional[threading.Thread] = None
         self._ingest_err: List[BaseException] = []
-        self._ingest_lock = threading.Lock()
+        # reentrant: expire() computes matching rows and calls
+        # remove_sessions under one critical section
+        self._ingest_lock = threading.RLock()
         # canonical key per inserted session, for query-time dedup
         self._canon: List = []
         # distinct item-id set per inserted session, for hybrid re-ranking
@@ -154,6 +157,8 @@ class SessionSearchEngine:
         # gids dropped via remove_sessions in sharded mode (stable-id
         # indexes keep tombstoned metadata rows; single-chip compacts)
         self._removed: set = set()
+        # optional caller-supplied ingest stamp per row (TTL expiry)
+        self._stamps: List[Optional[float]] = []
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -212,7 +217,8 @@ class SessionSearchEngine:
         self.timer.counts["encode"] += 1
         return out
 
-    def add_sessions(self, data: Sequence) -> None:
+    def add_sessions(self, data: Sequence,
+                     stamp: Optional[float] = None) -> None:
         """Encode + stream-insert sessions into the corpus.
 
         In sharded mode inserts stripe across shards, so only whole
@@ -220,22 +226,29 @@ class SessionSearchEngine:
         buffered until the next add (``pending`` in :meth:`stats`). No
         duplicate rows are ever inserted -- duplicates would occupy top-k
         slots and double-count in reports.
+
+        ``stamp``: optional caller-supplied ingest timestamp (any
+        monotonic float — epoch seconds, a step counter) recorded per row
+        for TTL eviction via :meth:`expire`. Unstamped rows never expire.
         """
         with self._ingest_lock:
-            self._add_locked(data)
+            self._add_locked(data, stamp)
 
-    def _add_locked(self, data: Sequence) -> None:
-        self._pending.extend(data)
+    def _add_locked(self, data: Sequence,
+                    stamp: Optional[float] = None) -> None:
+        self._pending.extend((d, stamp) for d in data)
         m = (len(self._pending) // self._pad_to) * self._pad_to
         if m == 0:
             return
-        batch, self._pending = self._pending[:m], self._pending[m:]
+        pairs, self._pending = self._pending[:m], self._pending[m:]
+        batch = [d for d, _ in pairs]
         emb = self.embed(batch)
         with self.timer("insert"):
             self.index.add(emb)
             jax.block_until_ready(self.index._buf)  # time the device work
-        for d in batch:
+        for d, ts in pairs:
             sess = d[0] if isinstance(d, tuple) and len(d) == 2 else d
+            self._stamps.append(ts)
             self.sessions.append(sess)
             key = _session_key(sess)
             items = _item_set(sess)
@@ -276,7 +289,8 @@ class SessionSearchEngine:
     # threads keep answering queries while new sessions stream in (the
     # reference has no streaming path at all -- its index is built once,
     # test_amazon_filterd.py:207-223).
-    def add_sessions_async(self, data: Sequence) -> None:
+    def add_sessions_async(self, data: Sequence,
+                           stamp: Optional[float] = None) -> None:
         """Queue sessions for background encode+insert. Failures surface on
         the next :meth:`flush` (or :meth:`close`)."""
         if self._ingest_thread is None:
@@ -285,7 +299,7 @@ class SessionSearchEngine:
                 target=self._ingest_loop, daemon=True
             )
             self._ingest_thread.start()
-        self._ingest_q.put(list(data))
+        self._ingest_q.put((list(data), stamp))
 
     def _ingest_loop(self) -> None:
         while True:
@@ -293,8 +307,9 @@ class SessionSearchEngine:
             try:
                 if item is None:
                     return
+                data, stamp = item
                 with self._ingest_lock:
-                    self._add_locked(item)
+                    self._add_locked(data, stamp)
             except BaseException as e:
                 self._ingest_err.append(e)
             finally:
@@ -376,7 +391,7 @@ class SessionSearchEngine:
                 }
                 # drop matching rows still waiting in the stripe buffer
                 self._pending = [
-                    d for d in self._pending
+                    (d, ts) for d, ts in self._pending
                     if _session_key(
                         d[0] if isinstance(d, tuple) and len(d) == 2 else d
                     ) not in keys
@@ -407,12 +422,34 @@ class SessionSearchEngine:
             src, dst, new_size = compaction_plan(self.index.ntotal, rows)
             removed = self.index.remove_ids(rows)
             # mirror the index's swap-with-last compaction on the
-            # row-aligned session list, then rebuild derived metadata
+            # row-aligned session/stamp lists, then rebuild derived meta
             for s, d in zip(src.tolist(), dst.tolist()):
                 self.sessions[d] = self.sessions[s]
+                self._stamps[d] = self._stamps[s]
             del self.sessions[new_size:]
+            del self._stamps[new_size:]
             self._rebuild_meta()
             return removed
+
+    def expire(self, before: float) -> int:
+        """TTL eviction: remove every row (and pending entry) whose ingest
+        ``stamp`` (see :meth:`add_sessions`) is older than ``before``.
+        Rows added without a stamp never expire. The standard session-store
+        retention pattern, built on :meth:`remove_sessions`; same id
+        semantics and concurrency contract. Returns indexed rows removed
+        (dropped pending entries are not counted)."""
+        with self._ingest_lock:
+            self._pending = [
+                (d, ts) for d, ts in self._pending
+                if ts is None or ts >= before
+            ]
+            ids = [
+                i for i, ts in enumerate(self._stamps)
+                if ts is not None and ts < before and i not in self._removed
+            ]
+            if not ids:
+                return 0
+            return self.remove_sessions(ids=ids)
 
     # ------------------------------------------------------------------
     def search(self, data: Sequence, k: Optional[int] = None,
@@ -658,7 +695,12 @@ class SessionSearchEngine:
             self.index.save(prefix + ".index")
             with open(prefix + ".sessions.pkl", "wb") as f:
                 pickle.dump(
-                    {"sessions": self.sessions, "pending": self._pending},
+                    {
+                        "sessions": self.sessions,
+                        "stamps": self._stamps,
+                        "pending": [d for d, _ in self._pending],
+                        "pending_stamps": [ts for _, ts in self._pending],
+                    },
                     f,
                 )
 
@@ -698,7 +740,12 @@ class SessionSearchEngine:
             with open(prefix + ".sessions.pkl", "rb") as f:
                 blob = pickle.load(f)
             self.sessions = list(blob["sessions"])
-            self._pending = list(blob["pending"])
+            self._stamps = list(
+                blob.get("stamps", [None] * len(self.sessions))
+            )
+            pend = list(blob["pending"])
+            pend_ts = list(blob.get("pending_stamps", [None] * len(pend)))
+            self._pending = list(zip(pend, pend_ts))
             self._rebuild_meta()
             # stable-id (sharded) indexes keep tombstoned metadata rows
             # for removed gids: rebuild the removed set from the index's

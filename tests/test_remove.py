@@ -426,3 +426,39 @@ class TestEngineRemove:
         assert np.isfinite(rep["ave_all_jaccard"])
         # content-keyed second removal of the same rows finds nothing
         assert eng.remove_sessions(data=data[:2]) == 0
+
+    def test_ttl_expiry(self, gen, tokenizer):
+        eng = self._engine(gen, tokenizer)
+        old, new, never = gen.dataset(6), gen.dataset(4), gen.dataset(2)
+        eng.add_sessions(old, stamp=100.0)
+        eng.add_sessions(new, stamp=200.0)
+        eng.add_sessions(never)  # unstamped: exempt from TTL
+        assert eng.expire(before=150.0) == 6
+        assert eng.index.ntotal == 6
+        # the survivors still self-retrieve with aligned metadata
+        _, I = eng.search(new[:3], k=1)
+        assert [eng.sessions[i] for i in I[:, 0]] == [
+            d[0] for d in new[:3]
+        ]
+        # idempotent; unstamped rows survive any cutoff
+        assert eng.expire(before=150.0) == 0
+        assert eng.expire(before=1e9) == 4
+        assert eng.index.ntotal == 2
+
+    def test_ttl_stamps_survive_snapshot(self, gen, tokenizer, tmp_path):
+        eng = self._engine(gen, tokenizer)
+        data = gen.dataset(8)
+        eng.add_sessions(data[:4], stamp=1.0)
+        eng.add_sessions(data[4:], stamp=2.0)
+        eng.save(str(tmp_path / "snap"))
+        eng2 = self._engine(gen, tokenizer)
+        eng2.restore(str(tmp_path / "snap"))
+        assert eng2.expire(before=1.5) == 4
+        assert eng2.index.ntotal == 4
+
+    def test_async_ingest_carries_stamp(self, gen, tokenizer):
+        eng = self._engine(gen, tokenizer)
+        eng.add_sessions_async(gen.dataset(4), stamp=10.0)
+        eng.flush()
+        assert eng.expire(before=11.0) == 4
+        eng.close()
