@@ -455,7 +455,8 @@ class SessionSearchEngine:
     def search(self, data: Sequence, k: Optional[int] = None,
                dedup: bool = False, hybrid_alpha: Optional[float] = None,
                overfetch: int = 4, hybrid_kind: str = "overlap",
-               hybrid_fusion: str = "score"):
+               hybrid_fusion: str = "score",
+               where: Optional[Callable] = None):
         """Full query path: sessions -> embed -> exact top-k.
         Returns (D, I). With ``dedup=True``, hits whose stored session
         duplicates an earlier hit's (same actions, e.g. inserted twice by a
@@ -481,7 +482,15 @@ class SessionSearchEngine:
         mismatch that makes score fusion land BELOW the better parent on
         cone-collapsed encoders (measured: docs/RESULTS.md adversarial
         alpha sweep; rrf_stan >= max(parents) per seed). ``hybrid_alpha``
-        still gates the hybrid path on (its value is ignored for 'rrf')."""
+        still gates the hybrid path on (its value is ignored for 'rrf').
+
+        ``where``: optional predicate ``session -> bool`` — filtered
+        search (the FAISS IDSelector counterpart): only stored sessions
+        the predicate accepts can rank (e.g. purchase sessions, a
+        category slice). Evaluated over the whole stored corpus per call
+        (O(n) host work — cache at the call site for hot filters);
+        composes with dedup and hybrid re-ranking. Dense index paths
+        only (single-chip and sharded)."""
         k = k or self.cfg.retrieval_k
         assert hybrid_kind in ("overlap", "stan")
         assert hybrid_fusion in ("score", "rrf")
@@ -494,10 +503,11 @@ class SessionSearchEngine:
         emb = self.embed(data)
         t0 = time.perf_counter()
         if hybrid_alpha is None:
-            D, I = self.search_embeddings(emb, k, dedup=dedup)
+            D, I = self.search_embeddings(emb, k, dedup=dedup, where=where)
         else:
             m = min(max(overfetch * k, k), max(self.index.ntotal, 1))
-            D2, I2 = self.search_embeddings(emb, m, dedup=dedup)
+            D2, I2 = self.search_embeddings(emb, m, dedup=dedup,
+                                            where=where)
             D2 = np.asarray(D2, dtype=np.float32)
             gid = np.asarray(I2, dtype=np.int64)
             sessions = [
@@ -621,14 +631,39 @@ class SessionSearchEngine:
         return D, I
 
     def search_embeddings(self, emb, k: Optional[int] = None,
-                          dedup: bool = False):
+                          dedup: bool = False,
+                          where: Optional[Callable] = None):
         k = k or self.cfg.retrieval_k
+        kw = {}
+        if where is not None:
+            kw["row_mask"] = self._where_mask(where)
         if not dedup:
-            return self.index.search(np.asarray(emb), k)
+            return self.index.search(np.asarray(emb), k, **kw)
         # over-fetch so dropped duplicates can be backfilled
         k2 = min(max(2 * k, k + 8), max(self.index.ntotal, 1))
-        D2, I2 = self.index.search(np.asarray(emb), k2)
+        D2, I2 = self.index.search(np.asarray(emb), k2, **kw)
         return self._dedup_topk(D2, I2, k)
+
+    def _where_mask(self, where: Callable) -> np.ndarray:
+        """Evaluate a session predicate into the index's row mask:
+        positional for the single-chip dense index, gid-keyed for the
+        sharded one (ids are stable there, so the session list IS the gid
+        space, tombstones included)."""
+        from sessionsimilaritysearch_tpu.index.twostage import (
+            ShardedTwoStageIndex,
+            TwoStageIndex,
+        )
+
+        if isinstance(self.index, (TwoStageIndex, ShardedTwoStageIndex)):
+            raise ValueError(
+                "filtered search is wired for the dense index paths; a "
+                "two-stage prefilter would need the mask inside stage 1 "
+                "— serve filtered queries from a dense engine"
+            )
+        return np.fromiter(
+            (bool(where(s)) for s in self.sessions),
+            dtype=bool, count=len(self.sessions),
+        )
 
     def _dedup_topk(self, D2, I2, k: int):
         """Drop candidates whose session duplicates a better-ranked hit

@@ -229,10 +229,17 @@ class DenseIndex:
         self.size = new_size
         return removed
 
-    def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, k: int,
+               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:
         scores descending for 'cos'/'ip', squared distances ascending for
         'l2'; missing slots are (-inf/+inf, -1).
+
+        ``row_mask``: optional bool array over the current rows (length
+        ``size``, or ``capacity``) — filtered search: rows where False
+        never rank (the FAISS IDSelector counterpart). A dynamic operand:
+        fresh masks never retrace. NOTE after :meth:`remove_ids` row ids
+        renumber — rebuild positional masks after removal.
 
         Query batches are padded up to the next power of two (min 8) so a
         variable-batch serving caller compiles O(log max_q) programs
@@ -257,6 +264,17 @@ class DenseIndex:
                 queries.astype(jnp.float32)
             )
         metric = "ip" if self.metric == "cos" else self.metric
+        if row_mask is not None:
+            row_mask = np.asarray(row_mask, bool)
+            assert row_mask.shape[0] in (self.size, self.capacity), (
+                f"row_mask length {row_mask.shape[0]} matches neither "
+                f"size {self.size} nor capacity {self.capacity}"
+            )
+            if row_mask.shape[0] < self.capacity:
+                row_mask = np.pad(
+                    row_mask, (0, self.capacity - row_mask.shape[0])
+                )
+            row_mask = jnp.asarray(row_mask)
         vals, idx = topk_ops.chunked_topk(
             queries,
             self._buf,
@@ -268,6 +286,7 @@ class DenseIndex:
             score_dtype=self.score_dtype,
             corpus_scales=self._scales,
             query_scales=query_scales,
+            row_mask=row_mask,
         )
         vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
         if self.metric == "l2":

@@ -264,7 +264,12 @@ class ShardedDenseIndex:
         self.size = int(new_fills.sum())
         return removed
 
-    def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries, k: int,
+               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Global exact top-k. ``row_mask``: optional bool array keyed by
+        GLOBAL id (length >= the highest id ever issued) — filtered
+        search; rows whose gid maps to False never rank. Ids are stable
+        under removal, so gid-keyed masks stay valid across maintenance."""
         qdtype = jnp.bfloat16 if self.quantize else self.dtype
         queries = jnp.asarray(queries, qdtype)
         nq = queries.shape[0]
@@ -284,6 +289,21 @@ class ShardedDenseIndex:
             jnp.asarray(self._fill, dtype=jnp.int32),
             NamedSharding(self.mesh, P(self.axis)),
         )
+        slot_mask = None
+        if row_mask is not None:
+            gmask = np.asarray(row_mask, bool)
+            assert gmask.shape[0] >= self._next_id, (
+                f"row_mask length {gmask.shape[0]} < highest issued id "
+                f"{self._next_id} (masks are keyed by GLOBAL id)"
+            )
+            slots = np.zeros((self.ndev, self.shard_rows), bool)
+            for s in range(self.ndev):
+                f = int(self._fill[s])
+                slots[s, :f] = gmask[self._host_ids[s, :f]]
+            slot_mask = jax.device_put(
+                jnp.asarray(slots.reshape(-1)),
+                NamedSharding(self.mesh, P(self.axis)),
+            )
         vals, ids = sharded_topk(
             queries,
             self._buf,
@@ -297,6 +317,7 @@ class ShardedDenseIndex:
             corpus_scales=self._scales,
             query_scales=query_scales,
             score_dtype=self.score_dtype,
+            row_mask=slot_mask,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 

@@ -174,6 +174,7 @@ def chunked_topk(
     score_dtype=jnp.float32,
     corpus_scales: Optional[jnp.ndarray] = None,
     query_scales: Optional[jnp.ndarray] = None,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k over corpus chunks.
 
@@ -214,6 +215,12 @@ def chunked_topk(
         int8 x int8 -> int32 on the MXU (2x the bf16 MXU rate on v5e)
         and scores dequantize as ``(qcode . ccode) * qscale * cscale``.
         Requires corpus_scales; 'ip'/'cos' only.
+      row_mask: optional [n] bool — filtered search: rows where False are
+        excluded from ranking (scored -inf), on top of the valid_count
+        masking. A dynamic operand: passing a fresh mask per call never
+        retraces (one extra program vs the unmasked path, keyed on
+        presence only). The scan still touches every row — cost is the
+        unfiltered scan's, not proportional to the filter's selectivity.
 
     Returns:
       (values [q, k], indices [q, k]) sorted descending by score. Invalid
@@ -244,11 +251,17 @@ def chunked_topk(
         corpus = jnp.pad(corpus, ((0, n_pad - n), (0, 0)))
         if corpus_scales is not None:
             corpus_scales = jnp.pad(corpus_scales, (0, n_pad - n))
+        if row_mask is not None:
+            row_mask = jnp.pad(row_mask, (0, n_pad - n))
     # [n_chunks, chunk, d] so scan slices are contiguous
     corpus_chunks = corpus.reshape(n_chunks, chunk_size, d)
     if corpus_scales is not None:
         assert metric != "l2", "quantized corpus supports 'ip'/'cos' only"
         scale_chunks = corpus_scales.reshape(n_chunks, chunk_size)
+    if row_mask is not None:
+        mask_chunks = row_mask.astype(jnp.bool_).reshape(
+            n_chunks, chunk_size
+        )
     if query_scales is not None:
         assert corpus_scales is not None, (
             "query_scales (int8 x int8 mode) requires corpus_scales"
@@ -272,10 +285,10 @@ def chunked_topk(
 
     def step(carry, inp):
         best_vals, best_idx = carry
-        if corpus_scales is not None:
-            chunk_i, chunk, scales = inp
-        else:
-            chunk_i, chunk = inp
+        it = iter(inp)
+        chunk_i, chunk = next(it), next(it)
+        scales = next(it) if corpus_scales is not None else None
+        mask = next(it) if row_mask is not None else None
         base = chunk_i * chunk_size
         if metric == "l2":
             cc = jnp.sum(chunk * chunk, axis=-1)
@@ -304,6 +317,8 @@ def chunked_topk(
                     ).astype(score_dtype)
         gidx = base + col  # [1, chunk]
         valid = gidx < valid_count
+        if mask is not None:
+            valid = valid & mask[None, :]
         scores = jnp.where(valid, scores, -jnp.inf)
         if mode == "approx":
             c_vals, c_pos = jax.lax.approx_max_k(
@@ -329,6 +344,8 @@ def chunked_topk(
     xs = (jnp.arange(n_chunks, dtype=jnp.int32), corpus_chunks)
     if corpus_scales is not None:
         xs = xs + (scale_chunks,)
+    if row_mask is not None:
+        xs = xs + (mask_chunks,)
     (vals, idx), _ = jax.lax.scan(step, init, xs)
     return vals, idx
 

@@ -33,6 +33,7 @@ def sharded_topk(
     corpus_scales: Optional[jnp.ndarray] = None,
     query_scales: Optional[jnp.ndarray] = None,
     score_dtype=jnp.float32,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a row-sharded corpus.
 
@@ -48,6 +49,9 @@ def sharded_topk(
         sharding as the corpus rows); see ``ops.topk.chunked_topk``.
       query_scales: optional [q] per-query int8 scales, replicated (the
         int8 x int8 MXU mode; requires corpus_scales).
+      row_mask: optional [n] bool (same sharding as the corpus rows) —
+        filtered search; False rows never rank (ops.topk.chunked_topk
+        semantics, applied per shard before the ICI merge).
 
     Returns replicated (values [q, k], ids [q, k]).
     """
@@ -59,18 +63,20 @@ def sharded_topk(
     shard_rows = n // ndev
     has_cs = corpus_scales is not None
     has_qs = query_scales is not None
+    has_mask = row_mask is not None
 
     def local_search(q, c_local, ids_local, valid, *extra):
         it = iter(extra)
         cs = next(it) if has_cs else None
         qs = next(it) if has_qs else None
+        rm = next(it) if has_mask else None
         vals, idx = chunked_topk(
             q, c_local, k,
             chunk_size=min(chunk_size, shard_rows),
             valid_count=valid[0],
             mode=mode, bucket=bucket,
             corpus_scales=cs, query_scales=qs,
-            score_dtype=score_dtype,
+            score_dtype=score_dtype, row_mask=rm,
         )
         safe = jnp.clip(idx, 0, shard_rows - 1)
         gids = jnp.where(idx >= 0, ids_local[safe], -1)
@@ -95,6 +101,9 @@ def sharded_topk(
     if has_qs:
         extra_args.append(query_scales)
         extra_specs.append(P())
+    if has_mask:
+        extra_args.append(row_mask)
+        extra_specs.append(P(axis))
 
     fn = jax.shard_map(
         local_search,
