@@ -99,6 +99,10 @@ class SessionSearchEngine:
         mean, or 'auto' to fit from the first ingested batch. The
         measured fix for cone-collapsed encoder embeddings where raw
         cosine saturates (docs/RESULTS.md 1M artifact: 7x type@10).
+      stage1: two-stage code-scan engine, single-chip 'binary'/'itq'
+        prefilters only — 'matmul' (sign matmul) or 'packed' (fused
+        Pallas XOR+popcount over int32-packed codes, 16x smaller stage-1
+        buffer; index.twostage.TwoStageIndex docs).
     """
 
     def __init__(
@@ -117,6 +121,7 @@ class SessionSearchEngine:
         pool: int = 512,
         projector=None,
         center=None,
+        stage1: str = "matmul",
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -178,6 +183,10 @@ class SessionSearchEngine:
                     "two-stage mode stores its own code buffers; drop "
                     "quantize"
                 )
+                assert stage1 == "matmul", (
+                    "the packed stage-1 scan is single-chip for now "
+                    "(Pallas inside shard_map untested)"
+                )
                 self.index = ShardedTwoStageIndex(
                     dim=dim, capacity=capacity, mesh=mesh, metric=metric,
                     prefilter=prefilter, pool=pool, projector=projector,
@@ -199,6 +208,7 @@ class SessionSearchEngine:
             self.index = TwoStageIndex(
                 dim=dim, capacity=capacity, metric=metric,
                 prefilter=prefilter, pool=pool, projector=projector,
+                stage1=stage1,
             )
             self._pad_to = 1
         else:
@@ -489,8 +499,10 @@ class SessionSearchEngine:
         the predicate accepts can rank (e.g. purchase sessions, a
         category slice). Evaluated over the whole stored corpus per call
         (O(n) host work — cache at the call site for hot filters);
-        composes with dedup and hybrid re-ranking. Dense index paths
-        only (single-chip and sharded)."""
+        composes with dedup and hybrid re-ranking. Supported on every
+        engine index (dense, two-stage, sharded forms of both); two-stage
+        engines apply the mask inside stage 1 so the candidate pool is
+        spent entirely on allowed rows."""
         k = k or self.cfg.retrieval_k
         assert hybrid_kind in ("overlap", "stan")
         assert hybrid_fusion in ("score", "rrf")
@@ -646,20 +658,11 @@ class SessionSearchEngine:
 
     def _where_mask(self, where: Callable) -> np.ndarray:
         """Evaluate a session predicate into the index's row mask:
-        positional for the single-chip dense index, gid-keyed for the
-        sharded one (ids are stable there, so the session list IS the gid
-        space, tombstones included)."""
-        from sessionsimilaritysearch_tpu.index.twostage import (
-            ShardedTwoStageIndex,
-            TwoStageIndex,
-        )
-
-        if isinstance(self.index, (TwoStageIndex, ShardedTwoStageIndex)):
-            raise ValueError(
-                "filtered search is wired for the dense index paths; a "
-                "two-stage prefilter would need the mask inside stage 1 "
-                "— serve filtered queries from a dense engine"
-            )
+        positional for the single-chip indexes, gid-keyed for the sharded
+        ones (ids are stable there, so the session list IS the gid space,
+        tombstones included). Two-stage indexes apply the mask inside
+        stage 1, so the candidate pool is spent entirely on allowed
+        rows."""
         return np.fromiter(
             (bool(where(s)) for s in self.sessions),
             dtype=bool, count=len(self.sessions),

@@ -87,14 +87,21 @@ class BinaryIndex:
         return self.size
 
     def add(self, signs) -> None:
-        """Append [m, n_bits] sign codes (+-1 or {0,1} floats)."""
-        signs = np.asarray(signs)
+        """Append [m, n_bits] sign codes (+-1 or {0,1} floats). Device
+        arrays pack on device (no host round-trip)."""
+        on_device = isinstance(signs, jnp.ndarray)
+        if not on_device:
+            signs = np.asarray(signs)
         assert signs.ndim == 2 and signs.shape[1] == self.n_bits
         m = signs.shape[0]
         if self.size + m > self.capacity:
             raise ValueError("binary index full")
         if self.mode == "packed":
-            rows = jnp.asarray(hamming.pack_bits_np(signs))
+            rows = (
+                hamming.pack_bits(signs)
+                if on_device
+                else jnp.asarray(hamming.pack_bits_np(signs))
+            )
         else:
             rows = jnp.where(jnp.asarray(signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
         # O(batch) in-place append (donated dynamic_update_slice), not an
@@ -130,7 +137,8 @@ class BinaryIndex:
 
         return jax.devices()[0].platform != "cpu"
 
-    def _search_pallas(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _search_pallas(self, q, k: int,
+                       row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         from sessionsimilaritysearch_tpu.ops.pallas_mips import (
             pallas_hamming_topk,
         )
@@ -153,19 +161,64 @@ class BinaryIndex:
             q, self._buf, k, rows_per_bucket=rpb,
             block_q=_BLOCK_Q, block_c=block_c,
             valid_count=jnp.asarray(self.size, jnp.int32),
+            row_mask=row_mask,
             interpret=self.interpret,
         )
-        return np.asarray(d[:nq]), np.asarray(i[:nq])
+        return d[:nq], i[:nq]
 
-    def search(self, q_signs, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (hamming distances ascending [q,k], indices [q,k])."""
-        q_signs = np.asarray(q_signs)
+    def _prep_mask(self, row_mask):
+        """Validate a positional row mask and pad it to the scan buffer's
+        physical row count (packed mode rounds the buffer up past
+        ``capacity``; padded rows are already dead via valid_count)."""
+        if row_mask is None:
+            return None
+        row_mask = np.asarray(row_mask, bool)
+        assert row_mask.shape[0] in (self.size, self.capacity), (
+            f"row_mask length {row_mask.shape[0]} matches neither "
+            f"size {self.size} nor capacity {self.capacity}"
+        )
+        n_buf = self._buf.shape[0]
+        if row_mask.shape[0] < n_buf:
+            row_mask = np.pad(row_mask, (0, n_buf - row_mask.shape[0]))
+        return jnp.asarray(row_mask)
+
+    def search(self, q_signs, k: int,
+               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (hamming distances ascending [q,k], indices [q,k]).
+
+        ``row_mask``: optional bool array over the current rows (length
+        ``size`` or ``capacity``) — filtered search (FAISS IDSelector
+        counterpart): False rows never rank. Dynamic operand on every
+        path (Pallas penalty stream / XLA scans) — fresh masks never
+        retrace. NOTE after :meth:`remove_ids` row ids renumber — rebuild
+        positional masks after removal.
+
+        ``q_signs`` may be a device array (sign codes computed on the
+        accelerator by an upstream projection, e.g. two-stage serving):
+        packing then runs on device (``hamming.pack_bits``) with no host
+        round-trip."""
+        d, i = self.search_device(q_signs, k, row_mask=row_mask)
+        return np.asarray(d), np.asarray(i)
+
+    def search_device(self, q_signs, k: int, row_mask=None):
+        """:meth:`search` that returns DEVICE arrays — the fused form for
+        pipelines whose next stage is another device computation (e.g.
+        two-stage serving's exact re-rank): no host sync between the code
+        scan and the consumer."""
+        on_device = isinstance(q_signs, jnp.ndarray)
+        if not on_device:
+            q_signs = np.asarray(q_signs)
         vc = jnp.asarray(self.size, jnp.int32)
+        mask = self._prep_mask(row_mask)
         if self.mode == "packed":
-            q = jnp.asarray(hamming.pack_bits_np(q_signs))
+            q = (
+                hamming.pack_bits(q_signs)
+                if on_device
+                else jnp.asarray(hamming.pack_bits_np(q_signs))
+            )
             if self._pallas_wanted(k):
                 try:
-                    return self._search_pallas(q, k)
+                    return self._search_pallas(q, k, row_mask=mask)
                 except ValueError:
                     raise
                 except Exception as e:  # Mosaic unavailable / lowering error
@@ -176,15 +229,17 @@ class BinaryIndex:
                         stacklevel=2,
                     )
                     self._pallas_broken = True
-            d, i = hamming.hamming_topk(q, self._buf, k, valid_count=vc)
+            d, i = hamming.hamming_topk(
+                q, self._buf, k, valid_count=vc, row_mask=mask
+            )
         else:
             q = jnp.where(jnp.asarray(q_signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
             d, i = hamming.sign_topk(
                 q, self._buf, k, n_bits=self.n_bits,
                 mode=self.selection, recall_target=self.recall_target,
-                valid_count=vc,
+                valid_count=vc, row_mask=mask,
             )
-        return np.asarray(d), np.asarray(i)
+        return d, i
 
     # --- persistence (reference: faiss.write_index/read_index for the
     #     binary index are absent upstream -- fine_tune_ours.py rebuilds

@@ -96,6 +96,18 @@ class TwoStageIndex:
       recall_target: stage-1 approx selection recall target.
       projector: fitted ``PCAProjector`` ('pca' prefilter only).
       seed: SimHash projection seed ('binary' only).
+      stage1: code-scan engine for the 'binary'/'itq' prefilters --
+        'matmul'  +-1 bf16 codes ranked by MXU sign matmul (the default;
+                  2 bytes/bit of HBM);
+        'packed'  int32-packed codes scanned by the fused Pallas
+                  XOR+popcount bucket-min kernel (ops.pallas_mips.
+                  pallas_hamming_topk) -- 1 BIT/bit of HBM (16x smaller
+                  stage-1 buffer) and an EXACT Hamming top-pool (the
+                  matmul path approx-selects). Falls back to the XLA
+                  popcount scan where Mosaic is unavailable (BinaryIndex
+                  fallback semantics).
+      use_pallas / interpret: forwarded to the packed stage-1 scan
+        (BinaryIndex conventions; interpret=True for CPU tests).
     """
 
     def __init__(
@@ -110,9 +122,17 @@ class TwoStageIndex:
         recall_target: float = 0.95,
         projector=None,
         seed: int = 0,
+        stage1: str = "matmul",
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
     ):
         assert metric in ("cos", "ip")
         assert prefilter in ("binary", "itq", "int8x8", "pca")
+        assert stage1 in ("matmul", "packed")
+        assert stage1 == "matmul" or prefilter in ("binary", "itq"), (
+            "stage1='packed' scans sign codes; use the 'binary' or 'itq' "
+            "prefilter"
+        )
         if prefilter in ("pca", "itq"):
             assert projector is not None, (
                 f"prefilter='{prefilter}' needs a fitted "
@@ -129,22 +149,27 @@ class TwoStageIndex:
         self.store_dtype = jnp.dtype(store_dtype)
         self.recall_target = recall_target
         self.seed = seed
+        self.stage1 = stage1
         self.size = 0
         self._buf = jnp.zeros((capacity, dim), dtype=self.store_dtype)
-        if prefilter == "binary":
-            self._codes = -jnp.ones((capacity, n_bits), jnp.bfloat16)
-        elif prefilter == "itq":
+        self._codes_index = None
+        if prefilter in ("pca", "itq"):
             self._proj_mean = jnp.asarray(projector.mean, jnp.float32)
             self._proj_comp = jnp.asarray(projector.components, jnp.float32)
             self._proj_explained = float(projector.explained)
+        if stage1 == "packed":
+            from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
+
+            self._codes_index = BinaryIndex(
+                n_bits=n_bits, capacity=capacity, mode="packed",
+                use_pallas=use_pallas, interpret=interpret,
+            )
+        elif prefilter in ("binary", "itq"):
             self._codes = -jnp.ones((capacity, n_bits), jnp.bfloat16)
         elif prefilter == "int8x8":
             self._codes = jnp.zeros((capacity, dim), jnp.int8)
             self._scales = jnp.zeros((capacity,), jnp.float32)
         else:
-            self._proj_mean = jnp.asarray(projector.mean, jnp.float32)
-            self._proj_comp = jnp.asarray(projector.components, jnp.float32)
-            self._proj_explained = float(projector.explained)
             self._codes = jnp.zeros(
                 (capacity, self._proj_comp.shape[0]), jnp.bfloat16
             )
@@ -187,7 +212,10 @@ class TwoStageIndex:
             )
         else:
             codes = self._project(emb)
-        self._codes = _write_rows(self._codes, codes, start)
+        if self._codes_index is not None:
+            self._codes_index.add(codes)  # packs on device
+        else:
+            self._codes = _write_rows(self._codes, codes, start)
         self.size += m
 
     def remove_ids(self, ids) -> int:
@@ -199,14 +227,20 @@ class TwoStageIndex:
         if src.size:
             s, d = _padded_moves(src, dst, self.capacity - 1)
             self._buf = _move_rows(self._buf, s, d)
-            self._codes = _move_rows(self._codes, s, d)
+            if self._codes_index is None:
+                self._codes = _move_rows(self._codes, s, d)
             if self.prefilter == "int8x8":
                 self._scales = _move_rows(self._scales, s, d)
+        if self._codes_index is not None:
+            # identical compaction plan (same size, same ids) keeps the
+            # packed stage-1 rows aligned with the re-rank rows
+            self._codes_index.remove_ids(ids)
         removed = self.size - new_size
         self.size = new_size
         return removed
 
-    def _stage1(self, qn: jnp.ndarray, pool: int) -> jnp.ndarray:
+    def _stage1(self, qn: jnp.ndarray, pool: int,
+                row_mask=None) -> jnp.ndarray:
         vc = jnp.asarray(self.size, jnp.int32)
         if self.prefilter in ("binary", "itq"):
             if self.prefilter == "binary":
@@ -215,10 +249,18 @@ class TwoStageIndex:
                 q_signs = _centered_signs(
                     qn, self._proj_mean, self._proj_comp
                 )
+            if self._codes_index is not None:
+                # packed stage 1: fused Pallas XOR+popcount scan, exact
+                # Hamming top-pool; device arrays flow straight into the
+                # re-rank (no host sync)
+                _, idx = self._codes_index.search_device(
+                    q_signs, pool, row_mask=row_mask
+                )
+                return idx
             _, idx = sign_topk(
                 q_signs, self._codes, pool, n_bits=self.n_bits,
                 mode="approx", recall_target=self.recall_target,
-                valid_count=vc,
+                valid_count=vc, row_mask=row_mask,
             )
         elif self.prefilter == "int8x8":
             q8, q_scales = _quantize_rows_int8(qn.astype(jnp.float32))
@@ -227,6 +269,7 @@ class TwoStageIndex:
                 mode="approx", recall_target=self.recall_target,
                 score_dtype=jnp.bfloat16, valid_count=vc,
                 corpus_scales=self._scales, query_scales=q_scales,
+                row_mask=row_mask,
             )
         else:
             qp = self._project(qn)
@@ -234,16 +277,24 @@ class TwoStageIndex:
                 qp, self._codes, pool, chunk_size=self.capacity,
                 mode="approx", recall_target=self.recall_target,
                 score_dtype=jnp.bfloat16, valid_count=vc,
+                row_mask=row_mask,
             )
         return idx
 
     def search(
-        self, queries, k: int, pool: Optional[int] = None
+        self, queries, k: int, pool: Optional[int] = None, row_mask=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact-over-pool top-k: (D [q,k] descending, I [q,k]); missing
         slots are (-inf, -1). Query batches pad to powers of two (the
         DenseIndex convention) so variable serving batches compile
-        O(log max_q) programs."""
+        O(log max_q) programs.
+
+        ``row_mask``: optional bool array over the current rows (length
+        ``size`` or ``capacity``) — filtered search: the mask applies
+        INSIDE stage 1, so the candidate pool is spent entirely on
+        allowed rows (filtering at re-rank time would silently shrink the
+        effective pool). Dynamic operand — fresh masks never retrace.
+        Positional ids (rebuild masks after :meth:`remove_ids`)."""
         pool = pool or self.pool
         pool = min(max(pool, k), max(self.capacity, 1))
         queries = jnp.asarray(queries, jnp.float32)
@@ -255,7 +306,18 @@ class TwoStageIndex:
             topk_ops.l2_normalize(queries)
             if self.metric == "cos" else queries
         )
-        cand = self._stage1(qn, pool)
+        if row_mask is not None:
+            row_mask = np.asarray(row_mask, bool)
+            assert row_mask.shape[0] in (self.size, self.capacity), (
+                f"row_mask length {row_mask.shape[0]} matches neither "
+                f"size {self.size} nor capacity {self.capacity}"
+            )
+            if row_mask.shape[0] < self.capacity:
+                row_mask = np.pad(
+                    row_mask, (0, self.capacity - row_mask.shape[0])
+                )
+            row_mask = jnp.asarray(row_mask)
+        cand = self._stage1(qn, pool, row_mask=row_mask)
         vals, idx = topk_ops.rerank_topk(
             qn, self._buf, cand, k, metric="ip",
             score_dtype=jnp.float32,
@@ -272,13 +334,19 @@ class TwoStageIndex:
             extra["proj_mean"] = np.asarray(self._proj_mean)
             extra["proj_comp"] = np.asarray(self._proj_comp)
             extra["proj_explained"] = self._proj_explained
-        codes = self._codes[: self.size]
-        if codes.dtype == jnp.bfloat16:
-            # bf16 isn't a native npz dtype; sign/unit-norm codes
-            # round-trip via f16 without ranking change
-            extra["codes_f16"] = np.asarray(codes.astype(jnp.float16))
+        if self._codes_index is not None:
+            # packed stage 1: int32 words are npz-native
+            extra["codes_packed"] = np.asarray(
+                self._codes_index._buf[: self.size]
+            )
         else:
-            extra["codes"] = np.asarray(codes)
+            codes = self._codes[: self.size]
+            if codes.dtype == jnp.bfloat16:
+                # bf16 isn't a native npz dtype; sign/unit-norm codes
+                # round-trip via f16 without ranking change
+                extra["codes_f16"] = np.asarray(codes.astype(jnp.float16))
+            else:
+                extra["codes"] = np.asarray(codes)
         np.savez(
             path,
             buf=np.asarray(self._buf[: self.size].astype(jnp.float32)),
@@ -291,6 +359,7 @@ class TwoStageIndex:
             store_dtype=self.store_dtype.name,
             recall_target=self.recall_target,
             seed=self.seed,
+            stage1=self.stage1,
             **extra,
         )
 
@@ -320,6 +389,7 @@ class TwoStageIndex:
             recall_target=float(z["recall_target"]),
             projector=projector,
             seed=int(z["seed"]),
+            stage1=str(z["stage1"]) if "stage1" in z else "matmul",
             **kw,
         )
         n = z["buf"].shape[0]
@@ -328,11 +398,18 @@ class TwoStageIndex:
             idx._buf = _write_rows(
                 idx._buf, jnp.asarray(z["buf"], idx.store_dtype), start
             )
-            codes = (
-                jnp.asarray(z["codes_f16"]).astype(jnp.bfloat16)
-                if "codes_f16" in z else jnp.asarray(z["codes"])
-            )
-            idx._codes = _write_rows(idx._codes, codes, start)
+            if idx._codes_index is not None:
+                ci = idx._codes_index
+                ci._buf = _write_rows(
+                    ci._buf, jnp.asarray(z["codes_packed"]), start
+                )
+                ci.size = n
+            else:
+                codes = (
+                    jnp.asarray(z["codes_f16"]).astype(jnp.bfloat16)
+                    if "codes_f16" in z else jnp.asarray(z["codes"])
+                )
+                idx._codes = _write_rows(idx._codes, codes, start)
             if prefilter == "int8x8":
                 idx._scales = jax.lax.dynamic_update_slice(
                     idx._scales, jnp.asarray(z["scales"], jnp.float32), (0,)
@@ -593,10 +670,16 @@ class ShardedTwoStageIndex:
         return removed
 
     def search(
-        self, queries, k: int, pool: Optional[int] = None
+        self, queries, k: int, pool: Optional[int] = None, row_mask=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Global exact-over-pool top-k: (D [q,k] descending, I [q,k]
-        global ids); missing slots are (-inf, -1)."""
+        global ids); missing slots are (-inf, -1).
+
+        ``row_mask``: optional bool array keyed by GLOBAL id (length >=
+        the highest id ever issued) — filtered search; rows whose gid
+        maps to False never enter a shard's stage-1 pool. Ids are stable
+        under removal, so gid-keyed masks stay valid across maintenance
+        (ShardedDenseIndex semantics)."""
         from sessionsimilaritysearch_tpu.parallel.collectives import (
             sharded_twostage_topk,
         )
@@ -616,6 +699,20 @@ class ShardedTwoStageIndex:
         valid = jax.device_put(
             jnp.asarray(self._fill, jnp.int32), self._id_sh
         )
+        slot_mask = None
+        if row_mask is not None:
+            gmask = np.asarray(row_mask, bool)
+            assert gmask.shape[0] >= self._next_id, (
+                f"row_mask length {gmask.shape[0]} < highest issued id "
+                f"{self._next_id} (masks are keyed by GLOBAL id)"
+            )
+            slots = np.zeros((self.ndev, self.shard_rows), bool)
+            for s in range(self.ndev):
+                f = int(self._fill[s])
+                slots[s, :f] = gmask[self._host_ids[s, :f]]
+            slot_mask = jax.device_put(
+                jnp.asarray(slots.reshape(-1)), self._id_sh
+            )
         vals, ids = sharded_twostage_topk(
             qn.astype(self.store_dtype), q_codes, self._buf, self._codes,
             k, self.mesh, axis=self.axis, shard_ids=self._ids,
@@ -623,6 +720,7 @@ class ShardedTwoStageIndex:
             recall_target=self.recall_target,
             score_dtype=self.score_dtype,
             code_scales=self._scales, q_code_scales=q_scales,
+            row_mask=slot_mask,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 

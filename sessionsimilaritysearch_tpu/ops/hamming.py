@@ -56,6 +56,7 @@ def hamming_topk(
     k: int,
     chunk_size: int = 65536,
     valid_count=None,
+    row_mask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact Hamming top-k over packed int32 codes.
 
@@ -65,6 +66,10 @@ def hamming_topk(
     ``valid_count``: dynamic number of valid corpus rows (default n). Pass
     it instead of slicing the corpus so streaming inserts into a fixed
     buffer never retrace (same contract as ops.topk.chunked_topk).
+
+    ``row_mask``: optional [n] bool — filtered search (the FAISS
+    IDSelector counterpart): rows where False never rank, on top of the
+    valid_count masking. Dynamic operand: fresh masks never retrace.
     """
     q, w = q_codes.shape
     n = c_codes.shape[0]
@@ -75,22 +80,37 @@ def hamming_topk(
     n_pad = n_chunks * chunk_size
     if n_pad != n:
         c_codes = jnp.pad(c_codes, ((0, n_pad - n), (0, 0)))
+        if row_mask is not None:
+            row_mask = jnp.pad(row_mask, (0, n_pad - n))
     chunks = c_codes.reshape(n_chunks, chunk_size, w)
+    if row_mask is not None:
+        mask_chunks = row_mask.astype(jnp.bool_).reshape(
+            n_chunks, chunk_size
+        )
     qc = q_codes.astype(jnp.uint32)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
 
     def step(carry, inp):
         best_neg, best_idx = carry
-        chunk_i, chunk = inp
+        it = iter(inp)
+        chunk_i, chunk = next(it), next(it)
+        mask = next(it) if row_mask is not None else None
         base = chunk_i * chunk_size
         x = jnp.bitwise_xor(qc[:, None, :], chunk.astype(jnp.uint32)[None, :, :])
         dist = jnp.sum(
             jax.lax.population_count(x).astype(jnp.int32), axis=-1
         )  # [q, chunk]
         gidx = base + col
-        neg = jnp.where(gidx < valid_count, -dist, jnp.iinfo(jnp.int32).min)
+        live = gidx < valid_count
+        if mask is not None:
+            live = live & mask[None, :]
+        neg = jnp.where(live, -dist, jnp.iinfo(jnp.int32).min)
         c_vals, c_pos = jax.lax.top_k(neg, min(k, chunk_size))
-        c_idx = base + c_pos
+        # masked/invalid slots carry idx -1 so a sentinel value can never
+        # surface with a live-looking row id
+        c_idx = jnp.where(
+            c_vals > jnp.iinfo(jnp.int32).min, base + c_pos, -1
+        )
         vals = jnp.concatenate([best_neg, c_vals], axis=-1)
         idx = jnp.concatenate([best_idx, c_idx], axis=-1)
         t_vals, t_pos = jax.lax.top_k(vals, k)
@@ -101,9 +121,10 @@ def hamming_topk(
         jnp.full((q, k), jnp.iinfo(jnp.int32).min, dtype=jnp.int32),
         jnp.full((q, k), -1, dtype=jnp.int32),
     )
-    (neg, idx), _ = jax.lax.scan(
-        step, init, (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
-    )
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
+    if row_mask is not None:
+        xs = xs + (mask_chunks,)
+    (neg, idx), _ = jax.lax.scan(step, init, xs)
     # missing slots carry the INT32_MIN sentinel; negating would overflow
     # back to "closest possible" -- report a huge distance instead, matching
     # FAISS's missing-result convention
@@ -124,6 +145,7 @@ def sign_topk(
     mode: str = "exact",
     recall_target: float = 0.95,
     valid_count=None,
+    row_mask=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Hamming top-k via +-1 matmul on the MXU.
 
@@ -145,6 +167,10 @@ def sign_topk(
     1M x 250 on v5e; rt=0.99 gives 65.7k at 0.9999. Hamming scores are
     small integers with heavy ties, so tie-aware recall is the right
     quality measure (any returned code at the k-th distance is as good).
+
+    ``row_mask``: optional [n] bool — filtered search, same contract as
+    ``ops.topk.chunked_topk`` (False rows never rank; dynamic operand,
+    fresh masks never retrace).
     """
     from sessionsimilaritysearch_tpu.ops.topk import chunked_topk
 
@@ -158,6 +184,7 @@ def sign_topk(
         recall_target=recall_target,
         score_dtype=jnp.bfloat16 if n_bits <= 256 else jnp.float32,
         valid_count=valid_count,
+        row_mask=row_mask,
     )
     # dot = bits - 2*hamming  =>  hamming = (bits - dot) / 2. Missing slots
     # carry ip=-inf; float->int conversion of inf is implementation-defined,

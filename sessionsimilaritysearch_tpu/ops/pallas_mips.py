@@ -756,6 +756,7 @@ def pallas_hamming_topk(
     block_q: int = 256,
     block_c: int = 1024,
     valid_count: Optional[jnp.ndarray] = None,
+    row_mask: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact Hamming top-k over packed codes: fused bucket-min kernel for
@@ -774,20 +775,29 @@ def pallas_hamming_topk(
     previous compensation -- widening the selection by a flat 128 buckets
     -- silently dropped true neighbors whenever the tail spanned multiple
     128*rows_per_bucket groups.) The re-rank additionally masks gathered
-    candidates by global id, which also covers ties at the boundary."""
+    candidates by global id, which also covers ties at the boundary.
+
+    ``row_mask``: optional [n] bool — filtered search; False rows fold
+    into the SAME penalty stream (and the re-rank gather re-checks them),
+    so a masked row can neither win a bucket nor surface in the output.
+    Dynamic operand: fresh masks never retrace."""
     q, w = q_codes.shape
     n = c_codes.shape[0]
     big = jnp.iinfo(jnp.int32).max
     penalties = None
-    if valid_count is not None:
-        # 0 for live rows, +2^20 (>> any popcount distance) for the tail;
-        # rebuilt per call from the dynamic fill count so growing a corpus
-        # never retraces this function
-        penalties = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < valid_count,
-            0,
-            1 << 20,
-        ).astype(jnp.int32)
+    if valid_count is not None or row_mask is not None:
+        # 0 for live rows, +2^20 (>> any popcount distance) for the
+        # invalid tail / filtered rows; rebuilt per call from the dynamic
+        # operands so growing a corpus or changing the filter never
+        # retraces this function
+        live = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) < valid_count
+            if valid_count is not None
+            else jnp.ones((1, n), jnp.bool_)
+        )
+        if row_mask is not None:
+            live = live & row_mask.astype(jnp.bool_).reshape(1, n)
+        penalties = jnp.where(live, 0, 1 << 20).astype(jnp.int32)
     bmin = hamming_bucket_min(
         q_codes, c_codes, rows_per_bucket, block_q, block_c,
         penalties=penalties, interpret=interpret,
@@ -814,6 +824,10 @@ def pallas_hamming_topk(
     gids = _global_rows(b_idx, all_pos, rows_per_bucket)
     if valid_count is not None:
         cand = jnp.where(gids < valid_count, cand, big)
+    if row_mask is not None:
+        cand = jnp.where(
+            row_mask.astype(jnp.bool_)[jnp.clip(gids, 0, n - 1)], cand, big
+        )
     c_neg, c_pos = jax.lax.top_k(-cand, k)
     idx = jnp.take_along_axis(gids, c_pos, axis=1)
     dist = -c_neg

@@ -132,6 +132,7 @@ def sharded_twostage_topk(
     score_dtype=jnp.float32,
     code_scales: Optional[jnp.ndarray] = None,
     q_code_scales: Optional[jnp.ndarray] = None,
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage top-k over a row-sharded corpus: per-shard cheap-code
     prefilter + per-shard exact full-dim re-rank + cross-shard merge.
@@ -171,6 +172,9 @@ def sharded_twostage_topk(
         mesh is the effective global pool).
       recall_target: stage-1 ``approx_max_k`` recall target.
       score_dtype: stage-2 re-rank score dtype (f32 = strictly exact).
+      row_mask: optional [n] bool (same sharding as the corpus rows) —
+        filtered search; the mask applies inside each shard's stage-1
+        scan so the per-shard pool is spent entirely on allowed rows.
 
     Returns replicated (values [q, k] descending, global ids [q, k]);
     missing slots are (-inf, -1).
@@ -185,11 +189,13 @@ def sharded_twostage_topk(
     local_pool = min(pool, shard_rows)
     has_cs = code_scales is not None
     has_qs = q_code_scales is not None
+    has_mask = row_mask is not None
 
     def local_search(q, qs, c_local, code_local, ids_local, valid, *extra):
         it = iter(extra)
         cs = next(it) if has_cs else None
         qcs = next(it) if has_qs else None
+        rm = next(it) if has_mask else None
         # stage 1: approx-selected MXU scan over this shard's codes (+-1
         # sign dot ordering == ascending Hamming, ops/hamming.py; int8x8
         # when scales are passed; plain ip for low-rank projections)
@@ -198,6 +204,7 @@ def sharded_twostage_topk(
             chunk_size=shard_rows, metric="ip", mode="approx",
             recall_target=recall_target, score_dtype=jnp.bfloat16,
             valid_count=valid[0], corpus_scales=cs, query_scales=qcs,
+            row_mask=rm,
         )
         # stage 2: exact full-dim re-rank of the local pool
         vals, idx = rerank_topk(
@@ -225,6 +232,9 @@ def sharded_twostage_topk(
     if has_qs:
         extra_args.append(q_code_scales)
         extra_specs.append(P())
+    if has_mask:
+        extra_args.append(row_mask)
+        extra_specs.append(P(axis))
 
     fn = jax.shard_map(
         local_search,

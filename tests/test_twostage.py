@@ -25,6 +25,21 @@ from sessionsimilaritysearch_tpu.ops.topk import (
 BF16_TOL = 2 * 2.0**-8
 
 
+@pytest.fixture()
+def gen(tiny_cfg):
+    # Shadows the session-scoped `gen` for this module: the engine tests
+    # assert self-top-1 through tiny untrained encoders whose embeddings
+    # sit close together, so the margin is data-dependent — a fresh seeded
+    # generator pins the draw so outcomes cannot depend on how many
+    # sessions earlier tests consumed from the shared stream (the conftest
+    # order-dependence rule; same fix as test_models.TestTitleTableCache).
+    from sessionsimilaritysearch_tpu.data.synthetic import (
+        SyntheticSessionGenerator,
+    )
+
+    return SyntheticSessionGenerator(asin_num=tiny_cfg.asin_num, seed=0)
+
+
 @pytest.fixture(scope="module")
 def data():
     r = np.random.default_rng(7)
@@ -312,6 +327,125 @@ class TestTwoStageIndex:
         D2, I2 = idx2.search(q, 10)
         np.testing.assert_array_equal(I1, I2)
         np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+
+class TestPackedStage1:
+    """stage1='packed': the fused Pallas XOR+popcount scan (BinaryIndex
+    packed semantics; XLA popcount fallback on CPU) replaces the sign
+    matmul for the 'binary'/'itq' prefilters — 1 bit/bit of stage-1 HBM
+    and an EXACT Hamming top-pool."""
+
+    @pytest.mark.parametrize("prefilter", ["binary", "itq"])
+    def test_full_pool_recovers_exact(self, data, prefilter):
+        q, c = data
+        projector = _fit_projector(prefilter, c)
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter=prefilter,
+                            n_bits=64, projector=projector, stage1="packed")
+        idx.add(c)
+        D, I = idx.search(q, 10, pool=1000)
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        assert value_recall_at_k(I, qn, cn, 10, rel_tol=BF16_TOL) == 1.0
+
+    def test_packed_pool_supersets_matmul(self, data):
+        """At equal pool the packed scan's stage-1 is the EXACT Hamming
+        top-pool while the matmul path approx-selects — end-to-end top-k
+        quality must be at least the matmul path's."""
+        q, c = data
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(c)))
+        mm = TwoStageIndex(dim=64, capacity=1024, prefilter="binary",
+                           n_bits=128)
+        pk = TwoStageIndex(dim=64, capacity=1024, prefilter="binary",
+                           n_bits=128, stage1="packed")
+        mm.add(c)
+        pk.add(c)
+        _, I_mm = mm.search(q, 10, pool=64)
+        _, I_pk = pk.search(q, 10, pool=64)
+        vr_mm = value_recall_at_k(I_mm, qn, cn, 10, rel_tol=BF16_TOL)
+        vr_pk = value_recall_at_k(I_pk, qn, cn, 10, rel_tol=BF16_TOL)
+        assert vr_pk >= vr_mm - 1e-9
+
+    def test_streaming_insert_no_retrace(self, rng):
+        from sessionsimilaritysearch_tpu.ops.hamming import hamming_topk
+
+        c = rng.standard_normal((64, 32)).astype(np.float32)
+        idx = TwoStageIndex(dim=32, capacity=256, prefilter="binary",
+                            n_bits=64, stage1="packed")
+        idx.add(c[:32])
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        idx.search(q, 5, pool=16)
+        before = hamming_topk._cache_size()
+        for s in range(4):
+            idx.add(c[32 + 8 * s : 40 + 8 * s])
+            idx.search(q, 5, pool=16)
+        assert hamming_topk._cache_size() == before
+
+    def test_row_mask_and_removal(self, rng):
+        c = rng.standard_normal((120, 32)).astype(np.float32)
+        idx = TwoStageIndex(dim=32, capacity=256, prefilter="binary",
+                            n_bits=64, stage1="packed")
+        idx.add(c)
+        mask = rng.random(120) < 0.3
+        _, I = idx.search(c[:5], 5, pool=120, row_mask=mask)
+        assert np.all(mask[I[I >= 0]])
+        # positional compaction moves rows AND packed codes together
+        idx.remove_ids(np.flatnonzero(~mask))
+        D2, I2 = idx.search(c[:5], 5, pool=idx.size)
+        keep = np.flatnonzero(mask)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        ov, oi = oracle_topk_np(cn[:5], cn[keep], 5)
+        np.testing.assert_allclose(D2, ov, rtol=2e-2, atol=2e-2)
+
+    def test_save_load_roundtrip(self, data, tmp_path):
+        q, c = data
+        idx = TwoStageIndex(dim=64, capacity=1024, prefilter="binary",
+                            n_bits=64, pool=200, stage1="packed")
+        idx.add(c)
+        D1, I1 = idx.search(q, 10)
+        path = str(tmp_path / "ts_packed")
+        idx.save(path)
+        idx2 = TwoStageIndex.load(path)
+        assert idx2.stage1 == "packed" and idx2._codes_index is not None
+        assert idx2._codes_index.size == idx2.size == 1000
+        D2, I2 = idx2.search(q, 10)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
+
+    def test_packed_rejects_non_sign_prefilters(self):
+        with pytest.raises(AssertionError, match="packed"):
+            TwoStageIndex(dim=16, capacity=64, prefilter="int8x8",
+                          stage1="packed")
+
+    def test_engine_packed_stage1(self, gen, tokenizer):
+        import jax
+
+        from sessionsimilaritysearch_tpu.config import tiny_test_config
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+        from sessionsimilaritysearch_tpu.engine import SessionSearchEngine
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+
+        cfg = tiny_test_config()
+        enc = build_text_session_encoder(cfg)
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ] * 8)
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, prefilter="binary", stage1="packed",
+        )
+        data = gen.dataset(24)
+        eng.add_sessions(data)
+        D, I = eng.search(data[:4], k=4)
+        assert I.shape == (4, 4) and np.all(I[:, 0] >= 0)
+        assert eng.index._codes_index is not None
 
 
 class TestShardedTwoStage:
