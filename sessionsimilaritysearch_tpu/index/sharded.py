@@ -264,6 +264,42 @@ class ShardedDenseIndex:
         self.size = int(new_fills.sum())
         return removed
 
+    # --- live-state round-trip (the checkpoint-utils form of persistence:
+    #     save/load below serialize to npz; these expose the FULL serving
+    #     state as a pytree for utils.checkpoint.save_sharded /
+    #     restore_sharded, which write each device shard without a host
+    #     gather). ``size`` alone does NOT determine row validity — per-
+    #     shard fills diverge after remove_ids — so raw _buf/_ids pokes
+    #     are not a valid restore; round-trip through these.
+    def state_dict(self) -> dict:
+        """Complete serving state: sharded device arrays (buf, ids,
+        scales) plus the host-side bookkeeping (fills, host id mirror,
+        next id). Usable directly as a save_sharded tree and as the
+        restore_sharded template."""
+        state = {
+            "buf": self._buf,
+            "ids": self._ids,
+            "size": np.asarray(self.size),
+            "fills": np.asarray(self._fill),
+            "next_id": np.asarray(self._next_id),
+            "host_ids": np.asarray(self._host_ids),
+        }
+        if self.quantize:
+            state["scales"] = self._scales
+        return state
+
+    def load_state(self, state: dict) -> None:
+        """Adopt a :meth:`state_dict`-shaped tree (e.g. from
+        restore_sharded): the inverse of :meth:`state_dict`."""
+        self._buf = state["buf"]
+        self._ids = state["ids"]
+        self.size = int(state["size"])
+        self._fill = np.asarray(state["fills"], np.int64).copy()
+        self._next_id = int(state["next_id"])
+        self._host_ids = np.asarray(state["host_ids"], np.int64).copy()
+        if self.quantize:
+            self._scales = state["scales"]
+
     def search(self, queries, k: int,
                row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         """Global exact top-k. ``row_mask``: optional bool array keyed by

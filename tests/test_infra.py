@@ -569,17 +569,16 @@ class TestShardedCheckpoint:
         idx = ShardedDenseIndex(dim=16, capacity=64, mesh=mesh)
         emb = rng.standard_normal((32, 16)).astype(np.float32)
         idx.add(emb)
+        idx.remove_ids([3, 17])  # diverge per-shard fills: the state the
+        # old raw _buf/_ids poke silently lost
         d1, i1 = idx.search(emb[:5], 3)
 
         d = str(tmp_path / "ick")
-        save_sharded(d, {"buf": idx._buf, "ids": idx._ids,
-                         "size": np.asarray(idx.size)})
+        save_sharded(d, idx.state_dict())
         fresh = ShardedDenseIndex(dim=16, capacity=64, mesh=mesh)
-        state = restore_sharded(
-            d, {"buf": fresh._buf, "ids": fresh._ids, "size": np.asarray(0)}
-        )
-        fresh._buf, fresh._ids = state["buf"], state["ids"]
-        fresh.size = int(state["size"])
+        fresh.load_state(restore_sharded(d, fresh.state_dict()))
         d2, i2 = fresh.search(emb[:5], 3)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(d1, d2, atol=1e-6)
+        # removal bookkeeping round-trips too: a follow-up remove works
+        assert fresh.remove_ids([i1[4, 0]]) == 1
