@@ -367,6 +367,34 @@ def main():
             report(f"twostage_bin{bits}_pool{pool}", dt,
                    {"exact_top10_containment": containment(I)})
 
+        # packed stage 1: the fused Pallas XOR+popcount scan over
+        # int32-packed codes (TwoStageIndex(stage1='packed') semantics) --
+        # 1 bit/bit of stage-1 HBM and an EXACT Hamming top-pool
+        packed_c = hamming.pack_bits(signs)
+        jax.block_until_ready(packed_c)
+        for pool in (128, 256, 512):
+            def ts_packed(q, p=pool):
+                qs = jnp.where(
+                    jnp.dot(q, Rb, preferred_element_type=jnp.float32) >= 0,
+                    1.0, -1.0,
+                ).astype(jnp.bfloat16)
+                qp = hamming.pack_bits(qs)
+                _, cand = pallas_mips.pallas_hamming_topk(
+                    qp, packed_c, p, rows_per_bucket=128,
+                    block_q=256, block_c=1024, interpret=interp,
+                )
+                return rerank_topk(q, corpus, cand, K,
+                                   score_dtype=jnp.bfloat16)
+
+            try:
+                dt = timed(ts_packed, queries, args.iters, chain_d)
+                _, I = ts_packed(queries)
+                report(f"twostage_packed{bits}_pool{pool}", dt,
+                       {"exact_top10_containment": containment(I)})
+            except Exception as e:
+                print(f"# twostage_packed pool={pool} FAILED: {e}",
+                      file=sys.stderr)
+
         from sessionsimilaritysearch_tpu.index.dense import (
             _quantize_rows_int8,
         )

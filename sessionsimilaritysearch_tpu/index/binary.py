@@ -4,13 +4,18 @@ Replaces FAISS ``IndexBinaryFlat`` over packbits codes (reference:
 fine_tune_ours.py:839-843 build, :871-879 timed search). Codes come from the
 BinarizeHead's sign outputs. Two storage modes:
 
-- 'packed': int32 words, XOR+popcount scan (memory-optimal). On TPU the
-  scan runs as the fused Pallas bucket-min kernel
-  (ops.pallas_mips.pallas_hamming_topk) -- measured 3x the sign-matmul
-  path and 34x the XLA popcount scan at 1M x 250 bits on v5e -- with
-  automatic fallback to the XLA scan where Mosaic is unavailable.
+- 'packed': int32 words, XOR+popcount scan -- the CAPACITY tier: 1 bit/bit
+  of HBM (32 MB per 1M x 250-bit rows, 1/16th of 'sign'). On TPU the scan
+  runs as the fused Pallas bucket-min kernel
+  (ops.pallas_mips.pallas_hamming_topk), measured 175 ms / 5.8k QPS at
+  1M x 250 bits on v5e -- ~8x the XLA popcount scan but 7x SLOWER than
+  the sign matmul (the VPU XOR+popcount stream cannot compete with the
+  MXU; an earlier 39.6 ms reading predates the materialize-when-timing
+  protocol and was a tunnel artifact -- docs/RESULTS.md r3 correction).
+  Automatic fallback to the XLA scan where Mosaic is unavailable.
 - 'sign': +-1 bf16 rows, ranked by MXU matmul (see ops/hamming.py for the
-  dot<->Hamming identity).
+  dot<->Hamming identity) -- the SPEED tier and the default: 41k QPS
+  exact / 167k approx at the same shape.
 
 Streaming contract (same as DenseIndex): the buffer is allocated at full
 ``capacity`` once and every search scans the whole buffer with a dynamic
@@ -224,7 +229,7 @@ class BinaryIndex:
                 except Exception as e:  # Mosaic unavailable / lowering error
                     warnings.warn(
                         "Pallas Hamming kernel failed; this index falls "
-                        f"back to the ~34x-slower XLA popcount scan: {e!r}",
+                        f"back to the ~8x-slower XLA popcount scan: {e!r}",
                         RuntimeWarning,
                         stacklevel=2,
                     )

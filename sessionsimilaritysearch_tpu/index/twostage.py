@@ -103,9 +103,12 @@ class TwoStageIndex:
                   XOR+popcount bucket-min kernel (ops.pallas_mips.
                   pallas_hamming_topk) -- 1 BIT/bit of HBM (16x smaller
                   stage-1 buffer) and an EXACT Hamming top-pool (the
-                  matmul path approx-selects). Falls back to the XLA
-                  popcount scan where Mosaic is unavailable (BinaryIndex
-                  fallback semantics).
+                  matmul path approx-selects). MEASURED ~10x slower than
+                  'matmul' at 1M x 256 bits (218 vs 21 ms at pool=128,
+                  docs/RESULTS.md r3 correction): choose it only when
+                  stage-1 HBM is the binding constraint. Falls back to
+                  the XLA popcount scan where Mosaic is unavailable
+                  (BinaryIndex fallback semantics).
       use_pallas / interpret: forwarded to the packed stage-1 scan
         (BinaryIndex conventions; interpret=True for CPU tests).
     """
