@@ -367,21 +367,32 @@ def main():
             report(f"twostage_bin{bits}_pool{pool}", dt,
                    {"exact_top10_containment": containment(I)})
 
-        # packed stage 1: the fused Pallas XOR+popcount scan over
-        # int32-packed codes (TwoStageIndex(stage1='packed') semantics) --
-        # 1 bit/bit of stage-1 HBM and an EXACT Hamming top-pool
-        packed_c = hamming.pack_bits(signs)
-        jax.block_until_ready(packed_c)
+        # packed stage 1: the fused Pallas unpack->MXU scan over
+        # TRANSPOSED int32-packed codes (TwoStageIndex(stage1='packed')
+        # semantics) -- 1 bit/bit of stage-1 HBM and an EXACT Hamming
+        # top-pool at sign-matmul speed (the earlier XOR+popcount kernel
+        # measured 7x slower than the matmul; docs/RESULTS.md r3)
+        bits_pad = -(-bits // 128) * 128  # kernel lane multiple; query pad
+        # columns are ZERO so corpus pad bits never score
+        packed_t = jnp.asarray(
+            hamming.pack_bits_t_np(
+                np.pad(
+                    np.asarray(signs.astype(jnp.float32)),
+                    ((0, 0), (0, bits_pad - bits)),
+                )
+            )
+        )
+        jax.block_until_ready(packed_t)
         for pool in (128, 256, 512):
             def ts_packed(q, p=pool):
                 qs = jnp.where(
                     jnp.dot(q, Rb, preferred_element_type=jnp.float32) >= 0,
                     1.0, -1.0,
                 ).astype(jnp.bfloat16)
-                qp = hamming.pack_bits(qs)
-                _, cand = pallas_mips.pallas_hamming_topk(
-                    qp, packed_c, p, rows_per_bucket=128,
-                    block_q=256, block_c=1024, interpret=interp,
+                qs = jnp.pad(qs, ((0, 0), (0, bits_pad - bits)))
+                _, cand = pallas_mips.pallas_packed_topk(
+                    qs, packed_t, p, n_bits=bits, rows_per_bucket=128,
+                    block_q=256, interpret=interp,
                 )
                 return rerank_topk(q, corpus, cand, K,
                                    score_dtype=jnp.bfloat16)
@@ -459,6 +470,31 @@ def main():
             report(f"binary_pallas_popcount_{bits}b", dt)
         except Exception as e:
             print(f"# binary_pallas FAILED: {e}", file=sys.stderr)
+
+        # production packed path: transposed pack + in-kernel unpack->MXU
+        try:
+            bits_pad = -(-bits // 128) * 128
+            packed_tc = jnp.asarray(
+                hamming.pack_bits_t_np(
+                    np.pad(
+                        np.asarray(signs.astype(jnp.float32)),
+                        ((0, 0), (0, bits_pad - bits)),
+                    )
+                )
+            )
+            q_signs_pad = jnp.pad(
+                q_signs, ((0, 0), (0, bits_pad - bits))
+            )
+            jax.block_until_ready((packed_tc, q_signs_pad))
+            dt = timed(
+                lambda q: pallas_mips.pallas_packed_topk(
+                    q, packed_tc, K, n_bits=bits, interpret=interp
+                ),
+                q_signs_pad, args.iters, chain_sign,
+            )
+            report(f"binary_packed_mxu_{bits}b", dt)
+        except Exception as e:
+            print(f"# binary_packed_mxu FAILED: {e}", file=sys.stderr)
 
     print(json.dumps({"all": results}))
 

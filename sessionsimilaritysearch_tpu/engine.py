@@ -101,7 +101,7 @@ class SessionSearchEngine:
         cosine saturates (docs/RESULTS.md 1M artifact: 7x type@10).
       stage1: two-stage code-scan engine, single-chip 'binary'/'itq'
         prefilters only — 'matmul' (sign matmul) or 'packed' (fused
-        Pallas XOR+popcount over int32-packed codes, 16x smaller stage-1
+        Pallas unpack->MXU scan over int32-packed codes, 16x smaller stage-1
         buffer; index.twostage.TwoStageIndex docs).
     """
 

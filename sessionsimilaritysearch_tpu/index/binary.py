@@ -4,32 +4,41 @@ Replaces FAISS ``IndexBinaryFlat`` over packbits codes (reference:
 fine_tune_ours.py:839-843 build, :871-879 timed search). Codes come from the
 BinarizeHead's sign outputs. Two storage modes:
 
-- 'packed': int32 words, XOR+popcount scan -- the CAPACITY tier: 1 bit/bit
-  of HBM (32 MB per 1M x 250-bit rows, 1/16th of 'sign'). On TPU the scan
-  runs as the fused Pallas bucket-min kernel
-  (ops.pallas_mips.pallas_hamming_topk), measured 175 ms / 5.8k QPS at
-  1M x 250 bits on v5e -- ~8x the XLA popcount scan but 7x SLOWER than
-  the sign matmul (the VPU XOR+popcount stream cannot compete with the
-  MXU; an earlier 39.6 ms reading predates the materialize-when-timing
-  protocol and was a tunnel artifact -- docs/RESULTS.md r3 correction).
-  Automatic fallback to the XLA scan where Mosaic is unavailable.
+- 'packed': the CAPACITY tier -- 1 bit/bit of HBM (32 MB per 1M x 250-bit
+  rows, 1/16th of 'sign'). Codes are stored TRANSPOSED-packed
+  (ops.hamming.pack_bits_t_np layout) and scanned by the fused Pallas
+  unpack->MXU kernel (ops.pallas_mips.pallas_packed_topk): each corpus
+  block is unpacked to +-1 bf16 in-kernel (32 static shifts + a sublane
+  concat) and ranked by sign matmul -- measured at FULL sign-matmul speed
+  on v5e (66.6 ms vs 65.8 ms control per 1024-query batch at 1M x 256
+  bits), i.e. packed no longer trades speed for memory. (The earlier
+  XOR+popcount bucket-min kernel is retained in ops.pallas_mips for the
+  measured record: 175 ms at the same shape -- the VPU popcount stream
+  cannot compete with the MXU.) Automatic fallback to an XLA twin of the
+  same unpack+matmul scan (ops.hamming.packed_t_topk) where Mosaic is
+  unavailable.
 - 'sign': +-1 bf16 rows, ranked by MXU matmul (see ops/hamming.py for the
   dot<->Hamming identity) -- the SPEED tier and the default: 41k QPS
-  exact / 167k approx at the same shape.
+  exact / 167k approx at the same shape, plus the only mode with approx
+  selection.
 
 Streaming contract (same as DenseIndex): the buffer is allocated at full
 ``capacity`` once and every search scans the whole buffer with a dynamic
 ``valid_count`` mask, so interleaved add/search NEVER recompiles -- scan
 cost is proportional to capacity, which the caller sizes. (Earlier rounds
 sliced ``buf[:size]``, retracing ~20-40 s per insert through the dev
-tunnel.)
+tunnel.) Packed adds are O(batch) scatter-ORs into the transposed layout;
+packed removals move individual code BITS between words (see
+``_t_move_bits``) so FAISS ``remove_ids`` semantics survive the layout.
 """
 
 from __future__ import annotations
 
+import functools
 import warnings
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +54,61 @@ from sessionsimilaritysearch_tpu.ops import hamming
 # rows_per_bucket <= 128 divides them (group = 128 * rpb divides 16384).
 _GROUP = 128 * 128
 _BLOCK_Q = 256
+# transposed-pack row block (layout property; 16384 % 2048 == 0)
+_TBLOCK = hamming.TBLOCK
+
+
+def _pow2(m: int) -> int:
+    return max(8, 1 << (max(m, 1) - 1).bit_length())
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _t_scatter_bits(buf: jnp.ndarray, p: jnp.ndarray, vals: jnp.ndarray):
+    """OR freshly-packed code bits into the transposed buffer. Correct
+    because target bits are zero (zeroed-buffer / zeroed-freed-range
+    invariant) and every real (row, bit) target is distinct, so wrapping
+    int32 adds equal bitwise OR; padded entries contribute literal 0."""
+    return buf.at[p].add(vals)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _t_move_bits(
+    buf: jnp.ndarray,
+    p_src: jnp.ndarray,
+    j_src: jnp.ndarray,
+    p_dst: jnp.ndarray,
+    j_dst: jnp.ndarray,
+    real: jnp.ndarray,
+    new_size: jnp.ndarray,
+    old_size: jnp.ndarray,
+):
+    """Transposed-layout compaction: move code bits src -> dst and zero the
+    freed slot range [new_size, old_size) in one donated pass.
+
+    A slot's code is bit j of packed row p across all columns
+    (ops.hamming.t_slot_coords), so a row move is a bit move: gather the
+    source bits, clear every destination bit and every freed-range bit
+    (per-packed-row int32 masks; distinct bits make wrapping adds an OR),
+    then scatter the gathered bits in. Gather happens before the clears,
+    so padded identity entries (real=False) are no-ops by construction."""
+    one = jnp.int32(1)
+    bits = (buf[p_src] >> j_src[:, None]) & one  # [M, bits] {0,1}
+    dst_bit = jnp.where(real, one << j_dst, 0)
+    clear_dst = jnp.zeros((buf.shape[0], 1), jnp.int32).at[p_dst].add(
+        dst_bit[:, None]
+    )
+    s_rows = _TBLOCK // 32
+    p_all = jnp.arange(buf.shape[0], dtype=jnp.int32)
+    slot0 = (p_all // s_rows) * _TBLOCK + p_all % s_rows
+    j_ar = jnp.arange(32, dtype=jnp.int32)
+    slots = slot0[:, None] + j_ar[None, :] * s_rows  # [P, 32] slot ids
+    freed = (slots >= new_size) & (slots < old_size)
+    clear_free = jnp.sum(
+        jnp.where(freed, one << j_ar, 0), axis=1, dtype=jnp.int32
+    )[:, None]
+    buf = buf & ~(clear_dst | clear_free)
+    set_vals = jnp.where(real[:, None], bits << j_dst[:, None], 0)
+    return buf.at[p_dst].add(set_vals)
 
 
 class BinaryIndex:
@@ -79,11 +143,18 @@ class BinaryIndex:
         self.interpret = interpret
         self._pallas_broken = False
         if mode == "packed":
-            self.words = -(-n_bits // 32)
-            # round the buffer up to the kernel grid unit; rows past
-            # ``capacity`` are never valid (search masks at ``size``)
+            # transposed-packed storage (ops.hamming.pack_bits_t_np
+            # layout): [slots/32, bits_pad] int32. Slot capacity rounds up
+            # to the kernel grid unit (slots past ``capacity`` are never
+            # valid -- search masks at ``size``); the code width pads to a
+            # full lane multiple, with query pad columns held at 0 so pad
+            # bits never contribute to any dot.
+            self.block_rows = _TBLOCK
+            self.bits_pad = -(-n_bits // 128) * 128
             cap_pad = -(-capacity // _GROUP) * _GROUP
-            self._buf = jnp.zeros((cap_pad, self.words), dtype=jnp.int32)
+            self._buf = jnp.zeros(
+                (cap_pad // 32, self.bits_pad), dtype=jnp.int32
+            )
         else:
             self._buf = -jnp.ones((capacity, n_bits), dtype=jnp.bfloat16)
 
@@ -93,7 +164,10 @@ class BinaryIndex:
 
     def add(self, signs) -> None:
         """Append [m, n_bits] sign codes (+-1 or {0,1} floats). Device
-        arrays pack on device (no host round-trip)."""
+        arrays pack on device (no host round-trip). O(batch) on both
+        modes: packed appends scatter-OR shifted bit columns into the
+        transposed words (move counts pad to powers of two so streaming
+        adds compile O(log) programs)."""
         on_device = isinstance(signs, jnp.ndarray)
         if not on_device:
             signs = np.asarray(signs)
@@ -102,18 +176,28 @@ class BinaryIndex:
         if self.size + m > self.capacity:
             raise ValueError("binary index full")
         if self.mode == "packed":
-            rows = (
-                hamming.pack_bits(signs)
-                if on_device
-                else jnp.asarray(hamming.pack_bits_np(signs))
-            )
+            bits01 = (jnp.asarray(signs) > 0).astype(jnp.int32)
+            if self.bits_pad != self.n_bits:
+                bits01 = jnp.pad(
+                    bits01, ((0, 0), (0, self.bits_pad - self.n_bits))
+                )
+            slots = np.arange(self.size, self.size + m)
+            p, j = hamming.t_slot_coords(slots, self.block_rows)
+            mp = _pow2(m)
+            p_pad = np.zeros(mp, np.int32)
+            p_pad[:m] = p
+            vals = bits01 << jnp.asarray(j, jnp.int32)[:, None]
+            vals = jnp.pad(vals, ((0, mp - m), (0, 0)))
+            self._buf = _t_scatter_bits(self._buf, jnp.asarray(p_pad), vals)
         else:
-            rows = jnp.where(jnp.asarray(signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
-        # O(batch) in-place append (donated dynamic_update_slice), not an
-        # O(capacity) functional copy -- same pattern as DenseIndex.add
-        self._buf = _write_rows(
-            self._buf, rows, jnp.asarray(self.size, jnp.int32)
-        )
+            rows = jnp.where(
+                jnp.asarray(signs) > 0, 1.0, -1.0
+            ).astype(jnp.bfloat16)
+            # O(batch) in-place append (donated dynamic_update_slice), not
+            # an O(capacity) functional copy -- same as DenseIndex.add
+            self._buf = _write_rows(
+                self._buf, rows, jnp.asarray(self.size, jnp.int32)
+            )
         self.size += m
 
     def remove_ids(self, ids) -> int:
@@ -122,49 +206,83 @@ class BinaryIndex:
         exactly as in FAISS (see index.dense.compaction_plan); freed
         capacity is reusable; search never retraces. Returns the count."""
         src, dst, new_size = compaction_plan(self.size, ids)
-        if src.size:
-            # pad with the buffer's last physical row (packed mode rounds
-            # the buffer up past `capacity`, never a real destination)
+        removed = self.size - new_size
+        if self.mode == "packed":
+            if removed:
+                # bit-granular moves + zeroing of the freed slot range (the
+                # zeroed-range invariant packed adds rely on); runs even
+                # with zero moves (pure-tail removals still free slots)
+                mlen = _pow2(int(src.size))
+                p_src, j_src = hamming.t_slot_coords(src, self.block_rows)
+                p_dst, j_dst = hamming.t_slot_coords(dst, self.block_rows)
+
+                def _pad(a):
+                    out = np.zeros(mlen, np.int32)
+                    out[: a.size] = a
+                    return jnp.asarray(out)
+
+                real = np.zeros(mlen, bool)
+                real[: src.size] = True
+                self._buf = _t_move_bits(
+                    self._buf,
+                    _pad(p_src), _pad(j_src), _pad(p_dst), _pad(j_dst),
+                    jnp.asarray(real),
+                    jnp.asarray(new_size, jnp.int32),
+                    jnp.asarray(self.size, jnp.int32),
+                )
+        elif src.size:
+            # pad with the buffer's last physical row (never a real
+            # destination: real dsts are < new_size)
             s, d = _padded_moves(src, dst, self._buf.shape[0] - 1)
             self._buf = _move_rows(self._buf, s, d)
-        removed = self.size - new_size
         self.size = new_size
         return removed
 
+    @property
+    def _n_slots(self) -> int:
+        """Physical slot count of the scan buffer (capacity rounded up to
+        the kernel grid unit)."""
+        if self.mode == "packed":
+            return self._buf.shape[0] * 32
+        return self._buf.shape[0]
+
     def _pallas_wanted(self, k: int) -> bool:
         if self.mode != "packed" or self._pallas_broken:
+            return False
+        # the transposed kernel's corpus block fixes rows_per_bucket >=
+        # block_rows/128, which caps k at n_slots/(block_rows/128); larger
+        # k falls through to the XLA unpack+matmul scan
+        if k > self._n_slots // (self.block_rows // 128):
             return False
         if self.use_pallas is not None:
             return self.use_pallas
         if self.interpret:
             return False
-        import jax
+        import jax as _jax
 
-        return jax.devices()[0].platform != "cpu"
+        return _jax.devices()[0].platform != "cpu"
 
-    def _search_pallas(self, q, k: int,
+    def _search_pallas(self, q_signs, k: int,
                        row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         from sessionsimilaritysearch_tpu.ops.pallas_mips import (
-            pallas_hamming_topk,
+            pallas_packed_topk,
         )
 
-        nq = q.shape[0]
-        n_scan = self._buf.shape[0]  # full capacity: inserts never retrace
-        # rows_per_bucket: largest power of two <= 128 leaving >= k buckets
+        nq = q_signs.shape[0]
+        n_scan = self._n_slots  # full capacity: inserts never retrace
+        # rows_per_bucket: largest power of two <= 128 leaving >= k
+        # buckets; floored at block_rows/128 by the kernel's block layout
+        # (_pallas_wanted already rejected k beyond that floor)
         rpb = 128
-        while rpb > 1 and n_scan // rpb < k:
+        while rpb > self.block_rows // 128 and n_scan // rpb < k:
             rpb //= 2
-        if n_scan // rpb < k:
-            raise ValueError(f"k={k} too large for {n_scan} rows")
-        # group = 128*rpb must be divisible by block_c (% 128 == 0): shrink
-        # the corpus block when a large k drives rpb below 8
-        block_c = min(1024, 128 * rpb)
         q_pad = -(-nq // _BLOCK_Q) * _BLOCK_Q
         if q_pad != nq:
-            q = jnp.pad(q, ((0, q_pad - nq), (0, 0)))
-        d, i = pallas_hamming_topk(
-            q, self._buf, k, rows_per_bucket=rpb,
-            block_q=_BLOCK_Q, block_c=block_c,
+            q_signs = jnp.pad(q_signs, ((0, q_pad - nq), (0, 0)))
+        d, i = pallas_packed_topk(
+            q_signs, self._buf, k, n_bits=self.n_bits,
+            block_rows=self.block_rows, rows_per_bucket=rpb,
+            block_q=_BLOCK_Q,
             valid_count=jnp.asarray(self.size, jnp.int32),
             row_mask=row_mask,
             interpret=self.interpret,
@@ -173,8 +291,8 @@ class BinaryIndex:
 
     def _prep_mask(self, row_mask):
         """Validate a positional row mask and pad it to the scan buffer's
-        physical row count (packed mode rounds the buffer up past
-        ``capacity``; padded rows are already dead via valid_count)."""
+        physical slot count (packed mode rounds the buffer up past
+        ``capacity``; padded slots are already dead via valid_count)."""
         if row_mask is None:
             return None
         row_mask = np.asarray(row_mask, bool)
@@ -182,7 +300,7 @@ class BinaryIndex:
             f"row_mask length {row_mask.shape[0]} matches neither "
             f"size {self.size} nor capacity {self.capacity}"
         )
-        n_buf = self._buf.shape[0]
+        n_buf = self._n_slots
         if row_mask.shape[0] < n_buf:
             row_mask = np.pad(row_mask, (0, n_buf - row_mask.shape[0]))
         return jnp.asarray(row_mask)
@@ -210,17 +328,18 @@ class BinaryIndex:
         pipelines whose next stage is another device computation (e.g.
         two-stage serving's exact re-rank): no host sync between the code
         scan and the consumer."""
-        on_device = isinstance(q_signs, jnp.ndarray)
-        if not on_device:
+        if not isinstance(q_signs, jnp.ndarray):
             q_signs = np.asarray(q_signs)
         vc = jnp.asarray(self.size, jnp.int32)
         mask = self._prep_mask(row_mask)
         if self.mode == "packed":
-            q = (
-                hamming.pack_bits(q_signs)
-                if on_device
-                else jnp.asarray(hamming.pack_bits_np(q_signs))
-            )
+            # queries stay sign vectors (only the corpus is packed): +-1
+            # bf16 with ZERO pad columns so padded corpus bits never score
+            q = jnp.where(
+                jnp.asarray(q_signs) > 0, 1.0, -1.0
+            ).astype(jnp.bfloat16)
+            if self.bits_pad != self.n_bits:
+                q = jnp.pad(q, ((0, 0), (0, self.bits_pad - self.n_bits)))
             if self._pallas_wanted(k):
                 try:
                     return self._search_pallas(q, k, row_mask=mask)
@@ -228,14 +347,17 @@ class BinaryIndex:
                     raise
                 except Exception as e:  # Mosaic unavailable / lowering error
                     warnings.warn(
-                        "Pallas Hamming kernel failed; this index falls "
-                        f"back to the ~8x-slower XLA popcount scan: {e!r}",
+                        "Pallas packed kernel failed; this index falls "
+                        "back to the XLA unpack+matmul scan: "
+                        f"{e!r}",
                         RuntimeWarning,
                         stacklevel=2,
                     )
                     self._pallas_broken = True
-            d, i = hamming.hamming_topk(
-                q, self._buf, k, valid_count=vc, row_mask=mask
+            d, i = hamming.packed_t_topk(
+                q, self._buf, k, n_bits=self.n_bits,
+                block_rows=self.block_rows,
+                valid_count=vc, row_mask=mask,
             )
         else:
             q = jnp.where(jnp.asarray(q_signs) > 0, 1.0, -1.0).astype(jnp.bfloat16)
@@ -250,13 +372,21 @@ class BinaryIndex:
     #     binary index are absent upstream -- fine_tune_ours.py rebuilds
     #     from embeddings every run; first-class here, incl. the serving
     #     configuration so a tuned engine restores tuned)
+    def _t_used_rows(self) -> int:
+        """Packed rows that can hold set bits at the current fill (whole
+        pack blocks; later blocks are all-zero by the invariant)."""
+        blocks = -(-self.size // self.block_rows)
+        return blocks * (self.block_rows // 32)
+
     def save(self, path: str) -> None:
-        rows = self._buf[: self.size]
+        extra = {}
         if self.mode == "sign":
             # bf16 isn't a native npz dtype; +-1 rows round-trip via int8
-            buf = np.asarray(rows.astype(jnp.int8))
+            buf = np.asarray(self._buf[: self.size].astype(jnp.int8))
         else:
-            buf = np.asarray(rows)
+            # transposed-packed words, trimmed to the used pack blocks
+            buf = np.asarray(self._buf[: self._t_used_rows()])
+            extra = {"layout": "t", "block_rows": self.block_rows}
         np.savez(
             path,
             buf=buf,
@@ -266,6 +396,7 @@ class BinaryIndex:
             selection=self.selection,
             recall_target=self.recall_target,
             size=self.size,
+            **extra,
         )
 
     @classmethod
@@ -281,9 +412,24 @@ class BinaryIndex:
         )
         size = int(z["size"])
         if size:
-            rows = jnp.asarray(z["buf"])
             if idx.mode == "sign":
-                rows = rows.astype(jnp.bfloat16)  # int8 +-1 -> bf16 rows
-            idx._buf = _write_rows(idx._buf, rows, jnp.asarray(0, jnp.int32))
-            idx.size = size
+                rows = jnp.asarray(z["buf"]).astype(jnp.bfloat16)
+                idx._buf = _write_rows(
+                    idx._buf, rows, jnp.asarray(0, jnp.int32)
+                )
+                idx.size = size
+            elif "layout" in z.files:
+                assert int(z["block_rows"]) == idx.block_rows, (
+                    "pack block mismatch: snapshot "
+                    f"{int(z['block_rows'])} vs {idx.block_rows}"
+                )
+                idx._buf = _write_rows(
+                    idx._buf, jnp.asarray(z["buf"]),
+                    jnp.asarray(0, jnp.int32),
+                )
+                idx.size = size
+            else:
+                # legacy row-major packed snapshot: unpack to signs and
+                # re-ingest through the transposed append path
+                idx.add(hamming.unpack_bits_np(z["buf"], idx.n_bits))
         return idx

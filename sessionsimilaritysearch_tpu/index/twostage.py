@@ -338,9 +338,11 @@ class TwoStageIndex:
             extra["proj_comp"] = np.asarray(self._proj_comp)
             extra["proj_explained"] = self._proj_explained
         if self._codes_index is not None:
-            # packed stage 1: int32 words are npz-native
-            extra["codes_packed"] = np.asarray(
-                self._codes_index._buf[: self.size]
+            # packed stage 1: transposed-packed int32 words (npz-native),
+            # trimmed to the used pack blocks (BinaryIndex.save layout)
+            ci = self._codes_index
+            extra["codes_packed_t"] = np.asarray(
+                ci._buf[: ci._t_used_rows()]
             )
         else:
             codes = self._codes[: self.size]
@@ -403,10 +405,19 @@ class TwoStageIndex:
             )
             if idx._codes_index is not None:
                 ci = idx._codes_index
-                ci._buf = _write_rows(
-                    ci._buf, jnp.asarray(z["codes_packed"]), start
-                )
-                ci.size = n
+                if "codes_packed_t" in z.files:
+                    ci._buf = _write_rows(
+                        ci._buf, jnp.asarray(z["codes_packed_t"]), start
+                    )
+                    ci.size = n
+                else:
+                    # legacy row-major packed snapshot: unpack and
+                    # re-ingest through the transposed append path
+                    from sessionsimilaritysearch_tpu.ops.hamming import (
+                        unpack_bits_np,
+                    )
+
+                    ci.add(unpack_bits_np(z["codes_packed"], ci.n_bits))
             else:
                 codes = (
                     jnp.asarray(z["codes_f16"]).astype(jnp.bfloat16)

@@ -49,6 +49,161 @@ def pack_bits(signs: jnp.ndarray) -> jnp.ndarray:
     return words.astype(jnp.int32)
 
 
+def unpack_bits_np(words: np.ndarray, n_bits: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits_np`: [n, w] int32 -> [n, n_bits] +-1
+    float32 (bit 1 -> +1, bit 0 -> -1)."""
+    words = np.asarray(words).view(np.uint32)
+    n, w = words.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (words[:, :, None] >> shifts[None, None, :]) & np.uint32(1)
+    bits = bits.reshape(n, w * 32)[:, :n_bits]
+    return np.where(bits > 0, 1.0, -1.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Transposed packing: the layout that lets a Pallas kernel unpack codes to
+# +-1 bf16 with 32 STATIC shifts + a SUBLANE concat (both free on the VPU)
+# and feed the MXU directly -- the key to scanning a 1 bit/bit corpus at
+# sign-matmul speed (lane-axis unpacks -- repeat / variable shift / lane
+# concat -- all measured 5-10x slower or failed to lower on v5e).
+#
+# Layout: original rows are grouped in blocks of ``block_rows`` (a pack-time
+# constant that must equal the kernel's corpus block). Within a block,
+# original row ii = j * (block_rows//32) + s is stored as bit j of packed
+# row s; packed shape is [n/32, n_bits]. The in-kernel unpack
+# ``concat([(cb >> j) & 1 for j in range(32)], axis=0)`` then reproduces the
+# block's rows in ORIGINAL order.
+# ---------------------------------------------------------------------------
+
+TBLOCK = 2048  # default pack-time row-block (= kernel corpus block)
+
+
+def pack_bits_t_np(signs: np.ndarray, block_rows: int = TBLOCK) -> np.ndarray:
+    """Transposed packing of [n, bits] {+1,-1} (or {0,1}) sign codes into
+    [n//32, bits] int32 (layout above). ``n % block_rows == 0`` (pad the
+    row count first; zero rows unpack to all -1 codes)."""
+    signs = np.asarray(signs)
+    n, bits = signs.shape
+    assert n % block_rows == 0 and block_rows % 32 == 0, (n, block_rows)
+    s_rows = block_rows // 32
+    b01 = (signs > 0).astype(np.uint32)
+    g = b01.reshape(n // block_rows, 32, s_rows, bits)  # [G, j, s, b]
+    out = np.zeros((n // block_rows, s_rows, bits), dtype=np.uint32)
+    for j in range(32):
+        out |= g[:, j, :, :] << np.uint32(j)
+    return out.reshape(n // 32, bits).view(np.int32)
+
+
+def unpack_bits_t(
+    packed_t: jnp.ndarray, block_rows: int = TBLOCK
+) -> jnp.ndarray:
+    """Device-side inverse of :func:`pack_bits_t_np`: [n/32, bits] int32 ->
+    [n, bits] +-1 bf16 rows in original order (the same unpack the Pallas
+    kernel runs per block, expressed in XLA for the fallback scan/tests)."""
+    ns, bits = packed_t.shape
+    s_rows = block_rows // 32
+    assert ns % s_rows == 0, (ns, block_rows)
+    g = packed_t.reshape(ns // s_rows, 1, s_rows, bits)
+    shifts = jnp.arange(32, dtype=jnp.int32).reshape(1, 32, 1, 1)
+    bits01 = (g >> shifts) & jnp.int32(1)  # [G, j, s, b]
+    flat = bits01.reshape(ns * 32, bits)
+    return (2 * flat - 1).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def t_slot_coords(slots, block_rows: int = TBLOCK):
+    """Map original-row slot ids to their transposed-layout coordinates:
+    (packed row p, bit j). Works for numpy or jnp inputs."""
+    s_rows = block_rows // 32
+    gi, ii = slots // block_rows, slots % block_rows
+    return gi * s_rows + ii % s_rows, ii // s_rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_bits", "block_rows", "chunk_size")
+)
+def packed_t_topk(
+    q_signs: jnp.ndarray,
+    c_packed_t: jnp.ndarray,
+    k: int,
+    n_bits: int,
+    block_rows: int = TBLOCK,
+    chunk_size: int = 1 << 16,
+    valid_count=None,
+    row_mask=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of the fused Pallas packed scan (the fallback where Mosaic
+    is unavailable): lax.scan over row chunks, each chunk unpacked to +-1
+    bf16 (:func:`unpack_bits_t`) and ranked by MXU/BLAS sign matmul.
+    Identical ranking to :func:`sign_topk` mode='exact' over the unpacked
+    codes (exact: +-1 dots are integers, f32-accumulated). Returns
+    (hamming distances ascending, indices); same valid_count / row_mask /
+    missing-slot conventions as :func:`hamming_topk`.
+
+    ``q_signs``: [q, bits_pad] +-1 (columns past n_bits must be ZERO so
+    padded corpus bits contribute nothing)."""
+    q, bits = q_signs.shape
+    ns = c_packed_t.shape[0]
+    n = ns * 32
+    if valid_count is None:
+        valid_count = jnp.asarray(n, jnp.int32)
+    # chunks must tile n exactly (lax.scan) in whole pack blocks: largest
+    # block count <= the target that divides the corpus
+    n_blocks = n // block_rows
+    assert n_blocks * block_rows == n, (n, block_rows)
+    nb = max(1, min(chunk_size // block_rows, n_blocks))
+    while n_blocks % nb:
+        nb -= 1
+    chunk_size = nb * block_rows
+    n_chunks = n // chunk_size
+    qb = q_signs.astype(jnp.bfloat16)
+    chunks = c_packed_t.reshape(n_chunks, chunk_size // 32, bits)
+    if row_mask is not None:
+        mask_chunks = row_mask.astype(jnp.bool_).reshape(
+            n_chunks, chunk_size
+        )
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def step(carry, inp):
+        best_val, best_idx = carry
+        it = iter(inp)
+        chunk_i, chunk = next(it), next(it)
+        mask = next(it) if row_mask is not None else None
+        base = chunk_i * chunk_size
+        rows = unpack_bits_t(chunk, block_rows)  # [chunk, bits] +-1 bf16
+        dots = jax.lax.dot_general(
+            qb, rows,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [q, chunk]
+        live = (base + col) < valid_count
+        if mask is not None:
+            live = live & mask[None, :]
+        dots = jnp.where(live, dots, neg_inf)
+        c_vals, c_pos = jax.lax.top_k(dots, min(k, chunk_size))
+        c_idx = jnp.where(jnp.isfinite(c_vals), base + c_pos, -1)
+        vals = jnp.concatenate([best_val, c_vals], axis=-1)
+        idx = jnp.concatenate([best_idx, c_idx], axis=-1)
+        t_vals, t_pos = jax.lax.top_k(vals, k)
+        t_idx = jnp.take_along_axis(idx, t_pos, axis=-1)
+        return (t_vals, t_idx), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, dtype=jnp.float32),
+        jnp.full((q, k), -1, dtype=jnp.int32),
+    )
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), chunks)
+    if row_mask is not None:
+        xs = xs + (mask_chunks,)
+    (dots, idx), _ = jax.lax.scan(step, init, xs)
+    dist = jnp.where(
+        idx < 0,
+        jnp.iinfo(jnp.int32).max,
+        ((n_bits - dots) * 0.5).astype(jnp.int32),
+    )
+    return dist, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk_size"))
 def hamming_topk(
     q_codes: jnp.ndarray,

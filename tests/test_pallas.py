@@ -252,10 +252,10 @@ class TestPallasHamming:
         np.testing.assert_array_equal(np.sort(d, axis=1), np.sort(ov, axis=1))
 
     def test_small_rows_per_bucket_block_c(self, codes):
-        """rpb < 8 forces block_c below 1024 (group % block_c == 0); the
-        adaptive block_c in BinaryIndex._search_pallas handles it (ADVICE
-        r2: large k used to trip the kernel's divisibility assert and
-        permanently pin the index to the XLA fallback)."""
+        """k beyond the transposed kernel's bucket budget (rows_per_bucket
+        is floored at block_rows/128 by the pack layout) must route to the
+        XLA fallback WITHOUT tripping any kernel assert or permanently
+        pinning the index off the Pallas path (ADVICE r2 lineage)."""
         from sessionsimilaritysearch_tpu.index.binary import BinaryIndex
 
         q_signs, c_signs, _, _ = codes

@@ -194,6 +194,45 @@ class TestBinaryRemove:
         idx.add(signs[:2])
         assert idx.ntotal == 16
 
+    def test_packed_freed_slots_rewrite_cleanly(self, rng):
+        """The transposed-packed zeroed-range invariant: remove_ids must
+        zero freed slots so a later add's scatter-OR lands on clean bits.
+        Interleave removals and re-adds across pack-block boundaries and
+        pin exact agreement with a fresh rebuild."""
+        signs = np.where(rng.standard_normal((300, 96)) > 0, 1.0, -1.0)
+        idx = BinaryIndex(n_bits=96, capacity=400, mode="packed")
+        rows = signs[:200]
+        idx.add(signs[:200])
+        for ids, lo, hi in [([0, 5, 199], 200, 230), ([10, 11, 12], 230, 260),
+                            (list(range(150, 180)), 260, 300)]:
+            idx.remove_ids(ids)
+            rows = apply_plan(rows, len(rows), ids)
+            idx.add(signs[lo:hi])
+            rows = np.concatenate([rows, signs[lo:hi]])
+        fresh = BinaryIndex(n_bits=96, capacity=400, mode="packed")
+        fresh.add(rows)
+        q = np.where(rng.standard_normal((6, 96)) > 0, 1.0, -1.0)
+        D1, I1 = idx.search(q, 9)
+        D2, I2 = fresh.search(q, 9)
+        np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
+    def test_packed_tail_only_removal_frees_bits(self, rng):
+        """Pure-tail removals produce ZERO moves but still free slots;
+        the freed bits must be zeroed or the next add corrupts codes."""
+        signs = np.where(rng.standard_normal((60, 64)) > 0, 1.0, -1.0)
+        idx = BinaryIndex(n_bits=64, capacity=64, mode="packed")
+        idx.add(signs[:50])
+        idx.remove_ids(list(range(40, 50)))  # tail: no survivor moves
+        idx.add(signs[50:60])  # re-occupies the freed slots
+        fresh = BinaryIndex(n_bits=64, capacity=64, mode="packed")
+        fresh.add(np.concatenate([signs[:40], signs[50:60]]))
+        q = np.where(rng.standard_normal((4, 64)) > 0, 1.0, -1.0)
+        D1, I1 = idx.search(q, 8)
+        D2, I2 = fresh.search(q, 8)
+        np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
 
 class TestTwoStageRemove:
     @pytest.mark.parametrize("prefilter", ["binary", "int8x8"])

@@ -631,17 +631,20 @@ class TestNoRetraceOnInsert:
         np.testing.assert_array_equal(np.sort(d, 1), np.sort(ov, 1))
 
     def test_binary_packed_xla_no_retrace(self, rng):
+        from sessionsimilaritysearch_tpu.ops.hamming import packed_t_topk
+
         idx = BinaryIndex(n_bits=64, capacity=4096, mode="packed",
                           use_pallas=False)
         codes = np.sign(rng.standard_normal((1200, 64))).astype(np.float32)
         q = codes[:8]
         idx.add(codes[:100])
         idx.search(q, 5)
-        before = hamming_topk._cache_size()
+        before = packed_t_topk._cache_size()
+        assert before > 0  # the fallback scan really is the path traced
         for lo in range(100, 1200, 100):
             idx.add(codes[lo:lo + 100])
             d, i = idx.search(q, 5)
-        assert hamming_topk._cache_size() == before
+        assert packed_t_topk._cache_size() == before
         ov, _ = oracle_hamming_np(q, codes, 5)
         np.testing.assert_array_equal(np.sort(d, 1), np.sort(ov, 1))
 
@@ -654,11 +657,12 @@ class TestNoRetraceOnInsert:
         q = codes[:8]
         idx.add(codes[:100])
         idx.search(q, 5)
-        before = pallas_mips.pallas_hamming_topk._cache_size()
+        before = pallas_mips.pallas_packed_topk._cache_size()
+        assert before > 0  # the kernel really is the path traced
         for lo in range(100, 1200, 100):
             idx.add(codes[lo:lo + 100])
             d, i = idx.search(q, 5)
-        assert pallas_mips.pallas_hamming_topk._cache_size() == before
+        assert pallas_mips.pallas_packed_topk._cache_size() == before
         ov, _ = oracle_hamming_np(q, codes, 5)
         np.testing.assert_array_equal(np.sort(d, 1), np.sort(ov, 1))
 
@@ -739,6 +743,25 @@ class TestSnapshotFidelity:
         # streaming continues after restore without retracing shapes
         loaded.add(codes[:50])
         assert loaded.size == 250
+
+    def test_binary_packed_legacy_snapshot_migrates(self, tmp_path, rng):
+        """Pre-transposed snapshots stored row-major packed words (no
+        ``layout`` field); load must unpack and re-ingest them."""
+        codes = np.sign(rng.standard_normal((100, 64))).astype(np.float32)
+        p = str(tmp_path / "legacy.npz")
+        np.savez(
+            p, buf=pack_bits(jnp.asarray(codes)),
+            n_bits=64, capacity=256, mode="packed",
+            selection="exact", recall_target=0.95, size=100,
+        )
+        loaded = BinaryIndex.load(p)
+        assert loaded.size == 100
+        fresh = BinaryIndex(n_bits=64, capacity=256, mode="packed")
+        fresh.add(codes)
+        D1, I1 = loaded.search(codes[:5], 7)
+        D2, I2 = fresh.search(codes[:5], 7)
+        np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
 
 
 class TestExactCert:
