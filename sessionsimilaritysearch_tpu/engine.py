@@ -99,10 +99,11 @@ class SessionSearchEngine:
         mean, or 'auto' to fit from the first ingested batch. The
         measured fix for cone-collapsed encoder embeddings where raw
         cosine saturates (docs/RESULTS.md 1M artifact: 7x type@10).
-      stage1: two-stage code-scan engine, single-chip 'binary'/'itq'
-        prefilters only — 'matmul' (sign matmul) or 'packed' (fused
-        Pallas unpack->MXU scan over int32-packed codes, 16x smaller stage-1
-        buffer; index.twostage.TwoStageIndex docs).
+      stage1: two-stage code-scan engine for the 'binary'/'itq'
+        prefilters, single-chip AND sharded — 'matmul' (sign matmul) or
+        'packed' (fused Pallas unpack->MXU scan over int32-packed codes,
+        16x smaller stage-1 buffers, per chip in sharded mode;
+        index.twostage.TwoStageIndex docs).
     """
 
     def __init__(
@@ -171,6 +172,10 @@ class SessionSearchEngine:
 
             ndev = mesh.shape["data"]
             capacity = -(-capacity // ndev) * ndev
+            if prefilter is not None and stage1 == "packed":
+                # packed stage-1 shards must hold whole pack blocks
+                unit = ndev * 2048
+                capacity = -(-capacity // unit) * unit
             if prefilter is not None:
                 from sessionsimilaritysearch_tpu.index.twostage import (
                     ShardedTwoStageIndex,
@@ -183,13 +188,10 @@ class SessionSearchEngine:
                     "two-stage mode stores its own code buffers; drop "
                     "quantize"
                 )
-                assert stage1 == "matmul", (
-                    "the packed stage-1 scan is single-chip for now "
-                    "(Pallas inside shard_map untested)"
-                )
                 self.index = ShardedTwoStageIndex(
                     dim=dim, capacity=capacity, mesh=mesh, metric=metric,
                     prefilter=prefilter, pool=pool, projector=projector,
+                    stage1=stage1,
                 )
             else:
                 self.index = ShardedDenseIndex(

@@ -99,16 +99,16 @@ class TwoStageIndex:
       stage1: code-scan engine for the 'binary'/'itq' prefilters --
         'matmul'  +-1 bf16 codes ranked by MXU sign matmul (the default;
                   2 bytes/bit of HBM);
-        'packed'  int32-packed codes scanned by the fused Pallas
-                  XOR+popcount bucket-min kernel (ops.pallas_mips.
-                  pallas_hamming_topk) -- 1 BIT/bit of HBM (16x smaller
+        'packed'  TRANSPOSED int32-packed codes scanned by the fused
+                  Pallas unpack->MXU kernel (ops.pallas_mips.
+                  pallas_packed_topk) -- 1 BIT/bit of HBM (16x smaller
                   stage-1 buffer) and an EXACT Hamming top-pool (the
-                  matmul path approx-selects). MEASURED ~10x slower than
-                  'matmul' at 1M x 256 bits (218 vs 21 ms at pool=128,
-                  docs/RESULTS.md r3 correction): choose it only when
-                  stage-1 HBM is the binding constraint. Falls back to
-                  the XLA popcount scan where Mosaic is unavailable
-                  (BinaryIndex fallback semantics).
+                  matmul path approx-selects). Measured at 1M x 250 bits
+                  on v5e: 40.2 ms full binary top-k vs 26.6 ms for the
+                  exact sign matmul -- 1.5x, not the 7x the retired
+                  XOR+popcount kernel cost (docs/RESULTS.md r3). Falls
+                  back to an XLA twin of the same unpack+matmul scan
+                  where Mosaic is unavailable (BinaryIndex semantics).
       use_pallas / interpret: forwarded to the packed stage-1 scan
         (BinaryIndex conventions; interpret=True for CPU tests).
     """
@@ -448,6 +448,14 @@ class ShardedTwoStageIndex:
 
     Streaming contract: fixed-capacity sharded buffers + dynamic
     per-shard valid counts — interleaved add/search never recompiles.
+
+    ``stage1='packed'`` ('binary'/'itq' prefilters): each chip keeps its
+    stage-1 codes TRANSPOSED-packed at 1 bit/bit of HBM and scans them
+    with the fused unpack->MXU Pallas kernel (XLA twin on CPU meshes) —
+    the capacity tier of sharded serving. Requires whole 2048-slot pack
+    blocks per shard (capacity % (ndev * 2048) == 0); appends scatter-OR
+    bits in place and removals move code bits with the rows
+    (index/binary.py layout invariants, per shard).
     """
 
     def __init__(
@@ -465,11 +473,19 @@ class ShardedTwoStageIndex:
         score_dtype=jnp.float32,
         projector=None,
         seed: int = 0,
+        stage1: str = "matmul",
+        use_pallas: Optional[bool] = None,
+        interpret: bool = False,
     ):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         assert metric in ("cos", "ip")
         assert prefilter in ("binary", "itq", "int8x8", "pca")
+        assert stage1 in ("matmul", "packed")
+        assert stage1 == "matmul" or prefilter in ("binary", "itq"), (
+            "stage1='packed' scans sign codes; use the 'binary' or 'itq' "
+            "prefilter"
+        )
         if prefilter in ("itq", "pca"):
             assert projector is not None, (
                 f"prefilter='{prefilter}' needs a fitted ops.projection "
@@ -496,6 +512,9 @@ class ShardedTwoStageIndex:
         self.recall_target = recall_target
         self.score_dtype = score_dtype
         self.seed = seed
+        self.stage1 = stage1
+        self.use_pallas = use_pallas
+        self.interpret = interpret
         self.size = 0
         sh = NamedSharding(mesh, P(axis, None))
         sh1 = NamedSharding(mesh, P(axis))
@@ -503,13 +522,30 @@ class ShardedTwoStageIndex:
         self._buf = jax.device_put(
             jnp.zeros((capacity, dim), self.store_dtype), sh
         )
-        code_dtype = jnp.int8 if prefilter == "int8x8" else jnp.bfloat16
-        code_init = (
-            jnp.zeros((capacity, n_bits), code_dtype)
-            if prefilter in ("int8x8", "pca")
-            else -jnp.ones((capacity, n_bits), code_dtype)
-        )
-        self._codes = jax.device_put(code_init, sh)
+        if stage1 == "packed":
+            # transposed-packed stage-1 codes, 1 bit/bit PER CHIP
+            # (ops.hamming.pack_bits_t_np layout per block within each
+            # shard; BinaryIndex mode='packed' conventions)
+            from sessionsimilaritysearch_tpu.ops.hamming import TBLOCK
+
+            self.block_rows = TBLOCK
+            self.bits_pad = -(-n_bits // 128) * 128
+            assert self.shard_rows % self.block_rows == 0, (
+                f"stage1='packed' needs whole {self.block_rows}-slot pack "
+                f"blocks per shard; got shard_rows={self.shard_rows} "
+                f"(capacity {capacity} over {self.ndev} shards)"
+            )
+            self._codes = jax.device_put(
+                jnp.zeros((capacity // 32, self.bits_pad), jnp.int32), sh
+            )
+        else:
+            code_dtype = jnp.int8 if prefilter == "int8x8" else jnp.bfloat16
+            code_init = (
+                jnp.zeros((capacity, n_bits), code_dtype)
+                if prefilter in ("int8x8", "pca")
+                else -jnp.ones((capacity, n_bits), code_dtype)
+            )
+            self._codes = jax.device_put(code_init, sh)
         self._scales = (
             jax.device_put(jnp.zeros((capacity,), jnp.float32), sh1)
             if prefilter == "int8x8" else None
@@ -531,12 +567,28 @@ class ShardedTwoStageIndex:
 
         axis = self.axis
         with_scales = self.prefilter == "int8x8"
+        packed = self.stage1 == "packed"
+        block_rows = getattr(self, "block_rows", 0)
 
         def write(buf, codes, ids, rows, row_codes, row_ids, start, *sc):
             s = start[0]
+            if packed:
+                # transposed-packed scatter-OR (BinaryIndex.add math):
+                # target bits are zero by the zeroed-freed-range invariant
+                per = row_codes.shape[0]
+                s_rows = block_rows // 32
+                slots = s + jnp.arange(per, dtype=jnp.int32)
+                p = (slots // block_rows) * s_rows + (slots % block_rows) % s_rows
+                j = (slots % block_rows) // s_rows
+                bits01 = (row_codes > 0).astype(jnp.int32)
+                new_codes = codes.at[p].add(bits01 << j[:, None])
+            else:
+                new_codes = jax.lax.dynamic_update_slice(
+                    codes, row_codes, (s, 0)
+                )
             out = (
                 jax.lax.dynamic_update_slice(buf, rows, (s, 0)),
-                jax.lax.dynamic_update_slice(codes, row_codes, (s, 0)),
+                new_codes,
                 jax.lax.dynamic_update_slice(ids, row_ids, (s,)),
             )
             if with_scales:
@@ -592,6 +644,10 @@ class ShardedTwoStageIndex:
         if self.metric == "cos":
             emb = topk_ops.l2_normalize(emb)
         codes, scales = self._codes_of(emb)
+        if self.stage1 == "packed" and self.bits_pad != self.n_bits:
+            codes = jnp.pad(
+                codes, ((0, 0), (0, self.bits_pad - self.n_bits))
+            )
         ids = jnp.arange(self._next_id, self._next_id + m, dtype=jnp.int32)
         start = jax.device_put(
             jnp.asarray(self._fill, jnp.int32), self._id_sh
@@ -625,25 +681,66 @@ class ShardedTwoStageIndex:
 
         axis = self.axis
         with_scales = self.prefilter == "int8x8"
+        packed = self.stage1 == "packed"
+        block_rows = getattr(self, "block_rows", 0)
+        last = self.shard_rows - 1
 
-        def move(buf, codes, ids, src, dst, *sc):
-            out = (
-                buf.at[dst].set(buf[src]),
-                codes.at[dst].set(codes[src]),
-                ids.at[dst].set(ids[src]),
-            )
+        def move(buf, codes, ids, src, dst, *extra):
+            it = iter(extra)
+            out_buf = buf.at[dst].set(buf[src])
+            out_ids = ids.at[dst].set(ids[src])
+            if packed:
+                # transposed-layout bit moves + freed-range zeroing per
+                # shard (index.binary._t_move_bits math). Identity pad
+                # moves are (last, last) by plan_sharded_removal's
+                # convention; a real move can never have dst == last.
+                nf, of = next(it), next(it)  # [1] per-shard fills
+                one = jnp.int32(1)
+                s_rows = block_rows // 32
+                p_s = (src // block_rows) * s_rows + (src % block_rows) % s_rows
+                j_s = (src % block_rows) // s_rows
+                p_d = (dst // block_rows) * s_rows + (dst % block_rows) % s_rows
+                j_d = (dst % block_rows) // s_rows
+                real = ~((src == last) & (dst == last))
+                bits = (codes[p_s] >> j_s[:, None]) & one
+                clear_dst = jnp.zeros(
+                    (codes.shape[0], 1), jnp.int32
+                ).at[p_d].add(jnp.where(real, one << j_d, 0)[:, None])
+                p_all = jnp.arange(codes.shape[0], dtype=jnp.int32)
+                slot0 = (p_all // s_rows) * block_rows + p_all % s_rows
+                j_ar = jnp.arange(32, dtype=jnp.int32)
+                slots = slot0[:, None] + j_ar[None, :] * s_rows
+                freed = (slots >= nf[0]) & (slots < of[0])
+                clear_free = jnp.sum(
+                    jnp.where(freed, one << j_ar, 0), axis=1,
+                    dtype=jnp.int32,
+                )[:, None]
+                new_codes = codes & ~(clear_dst | clear_free)
+                new_codes = new_codes.at[p_d].add(
+                    jnp.where(real[:, None], bits << j_d[:, None], 0)
+                )
+            else:
+                new_codes = codes.at[dst].set(codes[src])
+            out = (out_buf, new_codes, out_ids)
             if with_scales:
-                (scales,) = sc
+                (scales,) = tuple(it)
                 out += (scales.at[dst].set(scales[src]),)
             return out
 
         specs = (P(axis, None), P(axis, None), P(axis), P(axis), P(axis))
-        extra = (P(axis),) if with_scales else ()
+        extra = ()
+        if packed:
+            extra += (P(axis), P(axis))
+        if with_scales:
+            extra += (P(axis),)
         return jax.jit(
             jax.shard_map(
                 move, mesh=self.mesh, in_specs=specs + extra,
-                out_specs=(P(axis, None), P(axis, None), P(axis)) + extra,
+                out_specs=(P(axis, None), P(axis, None), P(axis))
+                + ((P(axis),) if with_scales else ()),
             ),
+            # packed and scales are mutually exclusive (packed requires
+            # the binary/itq prefilter), so scales stay at arg index 5
             donate_argnums=(0, 1, 2, 5) if with_scales else (0, 1, 2),
         )
 
@@ -669,6 +766,13 @@ class ShardedTwoStageIndex:
             jax.device_put(jnp.asarray(src.reshape(-1)), self._id_sh),
             jax.device_put(jnp.asarray(dst.reshape(-1)), self._id_sh),
         ]
+        if self.stage1 == "packed":
+            args.append(jax.device_put(
+                jnp.asarray(new_fills, jnp.int32), self._id_sh
+            ))
+            args.append(jax.device_put(
+                jnp.asarray(self._fill, jnp.int32), self._id_sh
+            ))
         if self.prefilter == "int8x8":
             self._buf, self._codes, self._ids, self._scales = (
                 self._move_fn(*args, self._scales)
@@ -727,6 +831,18 @@ class ShardedTwoStageIndex:
             slot_mask = jax.device_put(
                 jnp.asarray(slots.reshape(-1)), self._id_sh
             )
+        packed_kw = {}
+        if self.stage1 == "packed":
+            if self.bits_pad != self.n_bits:
+                q_codes = jnp.pad(
+                    q_codes, ((0, 0), (0, self.bits_pad - self.n_bits))
+                )
+            packed_kw = dict(
+                packed_bits=self.n_bits,
+                packed_block_rows=self.block_rows,
+                use_pallas=self.use_pallas,
+                interpret=self.interpret,
+            )
         vals, ids = sharded_twostage_topk(
             qn.astype(self.store_dtype), q_codes, self._buf, self._codes,
             k, self.mesh, axis=self.axis, shard_ids=self._ids,
@@ -735,6 +851,7 @@ class ShardedTwoStageIndex:
             score_dtype=self.score_dtype,
             code_scales=self._scales, q_code_scales=q_scales,
             row_mask=slot_mask,
+            **packed_kw,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 
@@ -745,7 +862,12 @@ class ShardedTwoStageIndex:
             extra["proj_mean"] = np.asarray(self._proj_mean)
             extra["proj_comp"] = np.asarray(self._proj_comp)
             extra["proj_explained"] = self._proj_explained
-        if self.prefilter == "int8x8":
+        if self.stage1 == "packed":
+            # transposed-packed int32 words, npz-native; 1 bit/bit on
+            # disk too. Re-striping on load unpacks per saved shard.
+            extra["codes_packed_t"] = np.asarray(self._codes)
+            extra["block_rows"] = self.block_rows
+        elif self.prefilter == "int8x8":
             extra["codes"] = np.asarray(self._codes)  # int8, native npz
             extra["scales"] = np.asarray(self._scales)
         else:
@@ -772,6 +894,7 @@ class ShardedTwoStageIndex:
             recall_target=self.recall_target,
             score_dtype=jnp.dtype(self.score_dtype).name,
             seed=self.seed,
+            stage1=self.stage1,
             **extra,
         )
 
@@ -802,6 +925,7 @@ class ShardedTwoStageIndex:
             score_dtype=jnp.dtype(str(z["score_dtype"])),
             projector=projector,
             seed=int(z["seed"]),
+            stage1=str(z["stage1"]) if "stage1" in z.files else "matmul",
             **kw,
         )
         size = int(z["size"])
@@ -817,12 +941,24 @@ class ShardedTwoStageIndex:
                 np.asarray(z["fills"], np.int64) if "fills" in z
                 else np.full(saved_ndev, size // saved_ndev, np.int64)
             )
-            raw_cod = (
-                np.asarray(z["codes"]) if "codes" in z
-                else np.asarray(z["codes_f16"])
-            )
+            code_width = idx.n_bits
+            if "codes_packed_t" in z.files:
+                # unpack the saved packed words back to sign codes so the
+                # normal write path re-packs per the NEW striping
+                from sessionsimilaritysearch_tpu.ops.hamming import (
+                    unpack_bits_t_np,
+                )
+
+                raw_cod = unpack_bits_t_np(
+                    z["codes_packed_t"], int(z["block_rows"])
+                )
+                code_width = raw_cod.shape[1]  # bits_pad
+            elif "codes" in z.files:
+                raw_cod = np.asarray(z["codes"])
+            else:
+                raw_cod = np.asarray(z["codes_f16"])
             buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
-            cod = raw_cod.reshape(saved_ndev, old_rows, idx.n_bits)
+            cod = raw_cod.reshape(saved_ndev, old_rows, code_width)
             ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
             flat_buf = np.concatenate(
                 [buf[s, : fills[s]] for s in range(saved_ndev)]

@@ -110,6 +110,21 @@ def unpack_bits_t(
     return (2 * flat - 1).astype(jnp.float32).astype(jnp.bfloat16)
 
 
+def unpack_bits_t_np(packed_t: np.ndarray, block_rows: int = TBLOCK) -> np.ndarray:
+    """Host-side inverse of :func:`pack_bits_t_np`: [n/32, bits] int32 ->
+    [n, bits] +-1 float32 rows in original order (snapshot migration /
+    re-striping)."""
+    packed_t = np.asarray(packed_t).view(np.uint32)
+    ns, bits = packed_t.shape
+    s_rows = block_rows // 32
+    assert ns % s_rows == 0, (ns, block_rows)
+    g = packed_t.reshape(ns // s_rows, 1, s_rows, bits)
+    shifts = np.arange(32, dtype=np.uint32).reshape(1, 32, 1, 1)
+    b01 = (g >> shifts) & np.uint32(1)
+    flat = b01.reshape(ns * 32, bits)
+    return np.where(flat > 0, 1.0, -1.0).astype(np.float32)
+
+
 def t_slot_coords(slots, block_rows: int = TBLOCK):
     """Map original-row slot ids to their transposed-layout coordinates:
     (packed row p, bit j). Works for numpy or jnp inputs."""

@@ -133,6 +133,10 @@ def sharded_twostage_topk(
     code_scales: Optional[jnp.ndarray] = None,
     q_code_scales: Optional[jnp.ndarray] = None,
     row_mask: Optional[jnp.ndarray] = None,
+    packed_bits: Optional[int] = None,
+    packed_block_rows: int = 2048,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage top-k over a row-sharded corpus: per-shard cheap-code
     prefilter + per-shard exact full-dim re-rank + cross-shard merge.
@@ -175,6 +179,16 @@ def sharded_twostage_topk(
       row_mask: optional [n] bool (same sharding as the corpus rows) —
         filtered search; the mask applies inside each shard's stage-1
         scan so the per-shard pool is spent entirely on allowed rows.
+      packed_bits: when set, ``codes`` is a TRANSPOSED-PACKED int32 code
+        buffer ([n/32, bits_pad] in ops.hamming.pack_bits_t_np layout,
+        packed per ``packed_block_rows``-slot blocks within each shard)
+        and this is the true code width: each chip scans its packed slice
+        with the fused unpack->MXU Pallas kernel
+        (ops.pallas_mips.pallas_packed_topk; XLA twin where Mosaic is
+        unavailable) — 1 bit/bit of stage-1 HBM per chip and an EXACT
+        Hamming top-pool. ``q_signs`` must carry ZERO pad columns past
+        packed_bits. ``use_pallas``: None = auto by platform;
+        ``interpret`` runs the kernel in interpret mode (CPU tests).
 
     Returns replicated (values [q, k] descending, global ids [q, k]);
     missing slots are (-inf, -1).
@@ -184,28 +198,81 @@ def sharded_twostage_topk(
     ndev = mesh.shape[axis]
     n = corpus.shape[0]
     assert n % ndev == 0, f"corpus rows {n} not divisible by mesh axis {ndev}"
-    assert codes.shape[0] == n
     shard_rows = n // ndev
     local_pool = min(pool, shard_rows)
     has_cs = code_scales is not None
     has_qs = q_code_scales is not None
     has_mask = row_mask is not None
+    if packed_bits is None:
+        assert codes.shape[0] == n
+        pallas_ok = False
+        rpb = 0
+    else:
+        assert codes.shape[0] * 32 == n, (codes.shape, n)
+        assert not has_cs and not has_qs, "packed stage 1 scans sign codes"
+        assert shard_rows % packed_block_rows == 0, (
+            f"shard rows {shard_rows} must be whole "
+            f"{packed_block_rows}-slot pack blocks"
+        )
+        # largest strided-bucket fold that tiles the shard and leaves
+        # enough buckets for the pool; none fitting -> XLA twin
+        rpb = 0
+        for cand_rpb in (128, 64, 32, 16):
+            if (
+                128 * cand_rpb >= packed_block_rows
+                and shard_rows % (128 * cand_rpb) == 0
+                and shard_rows // cand_rpb >= local_pool
+            ):
+                rpb = cand_rpb
+                break
+        pallas_ok = rpb > 0 and (
+            use_pallas
+            if use_pallas is not None
+            else (not interpret and jax.devices()[0].platform != "cpu")
+        )
 
     def local_search(q, qs, c_local, code_local, ids_local, valid, *extra):
         it = iter(extra)
         cs = next(it) if has_cs else None
         qcs = next(it) if has_qs else None
         rm = next(it) if has_mask else None
-        # stage 1: approx-selected MXU scan over this shard's codes (+-1
-        # sign dot ordering == ascending Hamming, ops/hamming.py; int8x8
-        # when scales are passed; plain ip for low-rank projections)
-        _, cand = chunked_topk(
-            qs, code_local, local_pool,
-            chunk_size=shard_rows, metric="ip", mode="approx",
-            recall_target=recall_target, score_dtype=jnp.bfloat16,
-            valid_count=valid[0], corpus_scales=cs, query_scales=qcs,
-            row_mask=rm,
-        )
+        if packed_bits is not None:
+            # stage 1, packed: exact Hamming top-pool over this shard's
+            # 1 bit/bit transposed-packed codes
+            if pallas_ok:
+                from sessionsimilaritysearch_tpu.ops.pallas_mips import (
+                    pallas_packed_topk,
+                )
+
+                _, cand = pallas_packed_topk(
+                    qs, code_local, local_pool, n_bits=packed_bits,
+                    block_rows=packed_block_rows, rows_per_bucket=rpb,
+                    block_q=min(256, qs.shape[0]),
+                    valid_count=valid[0], row_mask=rm,
+                    interpret=interpret,
+                )
+            else:
+                from sessionsimilaritysearch_tpu.ops.hamming import (
+                    packed_t_topk,
+                )
+
+                _, cand = packed_t_topk(
+                    qs, code_local, local_pool, n_bits=packed_bits,
+                    block_rows=packed_block_rows,
+                    valid_count=valid[0], row_mask=rm,
+                )
+        else:
+            # stage 1: approx-selected MXU scan over this shard's codes
+            # (+-1 sign dot ordering == ascending Hamming, ops/hamming.py;
+            # int8x8 when scales are passed; plain ip for low-rank
+            # projections)
+            _, cand = chunked_topk(
+                qs, code_local, local_pool,
+                chunk_size=shard_rows, metric="ip", mode="approx",
+                recall_target=recall_target, score_dtype=jnp.bfloat16,
+                valid_count=valid[0], corpus_scales=cs, query_scales=qcs,
+                row_mask=rm,
+            )
         # stage 2: exact full-dim re-rank of the local pool
         vals, idx = rerank_topk(
             q, c_local, cand, k, metric="ip", score_dtype=score_dtype,

@@ -629,6 +629,87 @@ class TestShardedTwoStage:
         np.testing.assert_array_equal(I1, I2)
         np.testing.assert_allclose(D1, D2, rtol=1e-5, atol=1e-5)
 
+    def test_index_packed_stage1_full_pool_exact(self, mesh, rng):
+        """stage1='packed' sharded: per-chip 1 bit/bit transposed-packed
+        code buffers scanned by the unpack+matmul twin (XLA on the CPU
+        mesh; the Pallas kernel is the on-hardware path). Full per-shard
+        pool == exact."""
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        cap = 8 * 2048  # whole pack blocks per shard (the packed minimum)
+        corpus = rng.standard_normal((1024, 24)).astype(np.float32)
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=24, capacity=cap, mesh=mesh,
+                                   n_bits=64, stage1="packed")
+        idx.add(corpus)
+        _, I = idx.search(q, 6, pool=2048)  # pool == whole shard
+        qn = np.asarray(l2_normalize(jnp.asarray(q)))
+        cn = np.asarray(l2_normalize(jnp.asarray(corpus)))
+        assert value_recall_at_k(I, qn, cn, 6, rel_tol=BF16_TOL) == 1.0
+
+    def test_sharded_packed_matches_matmul_pools(self, mesh, rng):
+        """At equal prefilter codes the packed stage-1 pool is exact
+        Hamming top-p while matmul approx-selects: the packed result at a
+        given pool must be at least as good. Compare both at full pool
+        (identical exact results) and streaming fills."""
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        cap = 8 * 2048
+        rows = rng.standard_normal((2048, 24)).astype(np.float32)
+        packed = ShardedTwoStageIndex(dim=24, capacity=cap, mesh=mesh,
+                                      n_bits=64, stage1="packed")
+        matmul = ShardedTwoStageIndex(dim=24, capacity=cap, mesh=mesh,
+                                      n_bits=64, stage1="matmul")
+        packed.add(rows[:1024]); matmul.add(rows[:1024])
+        packed.add(rows[1024:]); matmul.add(rows[1024:])
+        q = rows[:7]
+        Dp, Ip = packed.search(q, 5, pool=2048)
+        Dm, Im = matmul.search(q, 5, pool=2048)
+        np.testing.assert_allclose(Dp, Dm, rtol=1e-2, atol=1e-2)
+        np.testing.assert_array_equal(Ip[:, 0], np.arange(7))  # self top-1
+
+    def test_sharded_packed_remove_readd(self, mesh, rng):
+        """Stable-id removals + re-adds over the packed code buffers: the
+        per-shard freed-range zeroing must keep later scatter-OR appends
+        clean (the transposed-layout invariant, sharded form)."""
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+
+        cap = 8 * 2048
+        rows = rng.standard_normal((512, 24)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=24, capacity=cap, mesh=mesh,
+                                   n_bits=64, stage1="packed")
+        idx.add(rows[:256])
+        idx.remove_ids(np.arange(0, 256, 3))
+        idx.add(rows[256:512])  # re-occupies freed per-shard slots
+        q = rows[256:261]
+        _, I = idx.search(q, 3, pool=2048)
+        np.testing.assert_array_equal(I[:, 0], np.arange(256, 261))
+        # removed gids never resurface
+        _, I_all = idx.search(rows[:8], 10, pool=2048)
+        removed = set(range(0, 256, 3))
+        assert not (set(I_all.reshape(-1).tolist()) & removed)
+
+    def test_sharded_packed_save_load_restripe(self, mesh, tmp_path, rng):
+        import jax as _jax
+
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        cap = 8 * 2048
+        rows = rng.standard_normal((512, 24)).astype(np.float32)
+        idx = ShardedTwoStageIndex(dim=24, capacity=cap, mesh=mesh,
+                                   n_bits=64, stage1="packed")
+        idx.add(rows)
+        p = str(tmp_path / "sp")
+        idx.save(p)
+        mesh4 = create_mesh(devices=_jax.devices()[:4])
+        back = ShardedTwoStageIndex.load(p, mesh=mesh4)
+        assert back.stage1 == "packed" and back.ntotal == 512
+        D1, I1 = idx.search(rows[:6], 5, pool=2048)
+        D2, I2 = back.search(rows[:6], 5, pool=4096)
+        np.testing.assert_array_equal(I1[:, 0], I2[:, 0])
+        np.testing.assert_allclose(D1, D2, rtol=1e-2, atol=1e-2)
+
     def test_engine_sharded_prefilter(self, mesh, gen, tokenizer):
         import jax as _jax
 
