@@ -57,6 +57,17 @@ def timed(tag, fn, iters=8):
 timed("xla_sign_topk_exact   ", lambda q: hamming.sign_topk(
     q, signs, K, n_bits=BITS))
 
+# XLA twin of the packed scan (the Mosaic-unavailable fallback): measured
+# 2x the sign control within-window -- XLA materializes the unpacked
+# corpus through HBM instead of fusing the shifts into the matmul
+# (docs/RESULTS.md "Packed tier re-engineered"); compare ratios, not
+# absolutes (shared-chip load caveat)
+packed_twin = jnp.asarray(hamming.pack_bits_t_np(signs_np))
+jax.block_until_ready(packed_twin)
+timed("xla_packed_t_topk twin", lambda q: hamming.packed_t_topk(
+    q, packed_twin, K, BITS))
+del packed_twin
+
 packs = {}
 for br in (2048, 4096, 8192, 16384):
     packs[br] = jnp.asarray(hamming.pack_bits_t_np(signs_np, block_rows=br))
