@@ -157,6 +157,52 @@ def main():
         (np.sort(np.asarray(bda), 1) <= np.asarray(bd_e)[:, -1:]).mean()
     )
 
+    # --- packed capacity tier (BinaryIndex(mode='packed')): codes stored
+    # transposed-packed at 1 bit/bit of HBM (32 MB here vs 500 MB for the
+    # sign rows), scanned by the fused unpack->MXU Pallas kernel
+    # (ops.pallas_mips.pallas_packed_topk; measured 25.5k QPS = 1.5x off
+    # the sign tier at 1/16th the memory, docs/RESULTS.md r3). Distances
+    # are exact, so the quality gate is distance-set equality.
+    from sessionsimilaritysearch_tpu.ops.hamming import pack_bits_t_np
+    from sessionsimilaritysearch_tpu.ops.pallas_mips import (
+        pallas_packed_topk,
+    )
+
+    bits_pad = -(-bits // 128) * 128
+    signs_host = np.asarray(c_signs.astype(jnp.float32))
+    packed_t = jnp.asarray(
+        pack_bits_t_np(
+            np.pad(signs_host, ((0, 0), (0, bits_pad - bits)))
+        )
+    )
+    del signs_host
+    qp_pad = jnp.pad(q_signs, ((0, 0), (0, bits_pad - bits)))
+    jax.block_until_ready((packed_t, qp_pad))
+    try:
+        qb3 = qp_pad
+        for _ in range(3):
+            bdp, _ = pallas_packed_topk(
+                qb3, packed_t, K, n_bits=bits, interpret=not on_tpu
+            )
+            qb3 = jnp.where(bdp[:, :1] < -1, -qb3, qb3)
+        np.asarray(bdp)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            bdp, _ = pallas_packed_topk(
+                qb3, packed_t, K, n_bits=bits, interpret=not on_tpu
+            )
+            qb3 = jnp.where(bdp[:, :1] < -1, -qb3, qb3)
+        np.asarray(bdp)
+        binary_packed_qps = Q / ((time.perf_counter() - t0) / iters)
+        binary_packed_exact = bool(
+            (np.sort(np.asarray(bdp), 1) == np.sort(np.asarray(bd_e), 1))
+            .all()
+        )
+    except Exception as e:  # Mosaic unavailable outside TPU/interpret
+        print(f"# packed tier skipped: {e!r}", file=sys.stderr)
+        binary_packed_qps, binary_packed_exact = 0.0, False
+    del packed_t
+
     # --- int8 x int8 scan (DenseIndex(quantize='int8x8')): both sides
     # quantized per-row to int8 so the matmul runs the MXU's double-rate
     # int8 path (int8 x int8 -> int32) and the corpus is HALF the HBM of
@@ -278,6 +324,8 @@ def main():
         f"binary_sign_qps_{bits}b": round(binary_qps, 1),
         f"binary_approx_qps_{bits}b": round(binary_approx_qps, 1),
         f"binary_approx_value_recall{K}": round(binary_approx_recall, 4),
+        f"binary_packed_qps_{bits}b": round(binary_packed_qps, 1),
+        "binary_packed_distances_exact": binary_packed_exact,
         "int8x8_qps": round(int8_qps, 1),
         "int8x8_value_recall10": round(int8_recall10, 4),
         "int8x8_approx_qps": round(int8_approx_qps, 1),
