@@ -174,7 +174,9 @@ class SessionSearchEngine:
             capacity = -(-capacity // ndev) * ndev
             if prefilter is not None and stage1 == "packed":
                 # packed stage-1 shards must hold whole pack blocks
-                unit = ndev * 2048
+                from sessionsimilaritysearch_tpu.ops.hamming import TBLOCK
+
+                unit = ndev * TBLOCK
                 capacity = -(-capacity // unit) * unit
             if prefilter is not None:
                 from sessionsimilaritysearch_tpu.index.twostage import (

@@ -71,7 +71,9 @@ def _t_scatter_bits(buf: jnp.ndarray, p: jnp.ndarray, vals: jnp.ndarray):
     return buf.at[p].add(vals)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("block_rows",)
+)
 def _t_move_bits(
     buf: jnp.ndarray,
     p_src: jnp.ndarray,
@@ -81,6 +83,7 @@ def _t_move_bits(
     real: jnp.ndarray,
     new_size: jnp.ndarray,
     old_size: jnp.ndarray,
+    block_rows: int = _TBLOCK,
 ):
     """Transposed-layout compaction: move code bits src -> dst and zero the
     freed slot range [new_size, old_size) in one donated pass.
@@ -97,9 +100,9 @@ def _t_move_bits(
     clear_dst = jnp.zeros((buf.shape[0], 1), jnp.int32).at[p_dst].add(
         dst_bit[:, None]
     )
-    s_rows = _TBLOCK // 32
+    s_rows = block_rows // 32
     p_all = jnp.arange(buf.shape[0], dtype=jnp.int32)
-    slot0 = (p_all // s_rows) * _TBLOCK + p_all % s_rows
+    slot0 = (p_all // s_rows) * block_rows + p_all % s_rows
     j_ar = jnp.arange(32, dtype=jnp.int32)
     slots = slot0[:, None] + j_ar[None, :] * s_rows  # [P, 32] slot ids
     freed = (slots >= new_size) & (slots < old_size)
@@ -229,6 +232,7 @@ class BinaryIndex:
                     jnp.asarray(real),
                     jnp.asarray(new_size, jnp.int32),
                     jnp.asarray(self.size, jnp.int32),
+                    block_rows=self.block_rows,
                 )
         elif src.size:
             # pad with the buffer's last physical row (never a real
@@ -258,9 +262,7 @@ class BinaryIndex:
             return self.use_pallas
         if self.interpret:
             return False
-        import jax as _jax
-
-        return _jax.devices()[0].platform != "cpu"
+        return jax.devices()[0].platform != "cpu"
 
     def _search_pallas(self, q_signs, k: int,
                        row_mask=None) -> Tuple[np.ndarray, np.ndarray]:

@@ -253,9 +253,9 @@ class TwoStageIndex:
                     qn, self._proj_mean, self._proj_comp
                 )
             if self._codes_index is not None:
-                # packed stage 1: fused Pallas XOR+popcount scan, exact
-                # Hamming top-pool; device arrays flow straight into the
-                # re-rank (no host sync)
+                # packed stage 1: fused unpack->MXU scan over transposed-
+                # packed codes, exact Hamming top-pool; device arrays flow
+                # straight into the re-rank (no host sync)
                 _, idx = self._codes_index.search_device(
                     q_signs, pool, row_mask=row_mask
                 )
@@ -339,11 +339,14 @@ class TwoStageIndex:
             extra["proj_explained"] = self._proj_explained
         if self._codes_index is not None:
             # packed stage 1: transposed-packed int32 words (npz-native),
-            # trimmed to the used pack blocks (BinaryIndex.save layout)
+            # trimmed to the used pack blocks (BinaryIndex.save layout);
+            # the pack block is a LAYOUT property, so it travels with the
+            # words and load validates it (BinaryIndex.load semantics)
             ci = self._codes_index
             extra["codes_packed_t"] = np.asarray(
                 ci._buf[: ci._t_used_rows()]
             )
+            extra["codes_block_rows"] = ci.block_rows
         else:
             codes = self._codes[: self.size]
             if codes.dtype == jnp.bfloat16:
@@ -406,6 +409,15 @@ class TwoStageIndex:
             if idx._codes_index is not None:
                 ci = idx._codes_index
                 if "codes_packed_t" in z.files:
+                    saved_br = (
+                        int(z["codes_block_rows"])
+                        if "codes_block_rows" in z.files
+                        else ci.block_rows
+                    )
+                    assert saved_br == ci.block_rows, (
+                        "pack block mismatch: snapshot "
+                        f"{saved_br} vs {ci.block_rows}"
+                    )
                     ci._buf = _write_rows(
                         ci._buf, jnp.asarray(z["codes_packed_t"]), start
                     )
@@ -452,8 +464,8 @@ class ShardedTwoStageIndex:
     ``stage1='packed'`` ('binary'/'itq' prefilters): each chip keeps its
     stage-1 codes TRANSPOSED-packed at 1 bit/bit of HBM and scans them
     with the fused unpack->MXU Pallas kernel (XLA twin on CPU meshes) —
-    the capacity tier of sharded serving. Requires whole 2048-slot pack
-    blocks per shard (capacity % (ndev * 2048) == 0); appends scatter-OR
+    the capacity tier of sharded serving. Requires whole pack blocks per
+    shard (capacity % (ndev * hamming.TBLOCK) == 0); appends scatter-OR
     bits in place and removals move code bits with the rows
     (index/binary.py layout invariants, per shard).
     """
@@ -575,11 +587,13 @@ class ShardedTwoStageIndex:
             if packed:
                 # transposed-packed scatter-OR (BinaryIndex.add math):
                 # target bits are zero by the zeroed-freed-range invariant
+                from sessionsimilaritysearch_tpu.ops.hamming import (
+                    t_slot_coords,
+                )
+
                 per = row_codes.shape[0]
-                s_rows = block_rows // 32
                 slots = s + jnp.arange(per, dtype=jnp.int32)
-                p = (slots // block_rows) * s_rows + (slots % block_rows) % s_rows
-                j = (slots % block_rows) // s_rows
+                p, j = t_slot_coords(slots, block_rows)
                 bits01 = (row_codes > 0).astype(jnp.int32)
                 new_codes = codes.at[p].add(bits01 << j[:, None])
             else:
@@ -694,13 +708,15 @@ class ShardedTwoStageIndex:
                 # shard (index.binary._t_move_bits math). Identity pad
                 # moves are (last, last) by plan_sharded_removal's
                 # convention; a real move can never have dst == last.
+                from sessionsimilaritysearch_tpu.ops.hamming import (
+                    t_slot_coords,
+                )
+
                 nf, of = next(it), next(it)  # [1] per-shard fills
                 one = jnp.int32(1)
                 s_rows = block_rows // 32
-                p_s = (src // block_rows) * s_rows + (src % block_rows) % s_rows
-                j_s = (src % block_rows) // s_rows
-                p_d = (dst // block_rows) * s_rows + (dst % block_rows) % s_rows
-                j_d = (dst % block_rows) // s_rows
+                p_s, j_s = t_slot_coords(src, block_rows)
+                p_d, j_d = t_slot_coords(dst, block_rows)
                 real = ~((src == last) & (dst == last))
                 bits = (codes[p_s] >> j_s[:, None]) & one
                 clear_dst = jnp.zeros(
@@ -843,16 +859,41 @@ class ShardedTwoStageIndex:
                 use_pallas=self.use_pallas,
                 interpret=self.interpret,
             )
-        vals, ids = sharded_twostage_topk(
-            qn.astype(self.store_dtype), q_codes, self._buf, self._codes,
-            k, self.mesh, axis=self.axis, shard_ids=self._ids,
-            valid_per_shard=valid, pool=pool,
-            recall_target=self.recall_target,
-            score_dtype=self.score_dtype,
-            code_scales=self._scales, q_code_scales=q_scales,
-            row_mask=slot_mask,
-            **packed_kw,
-        )
+
+        def run():
+            return sharded_twostage_topk(
+                qn.astype(self.store_dtype), q_codes,
+                self._buf, self._codes,
+                k, self.mesh, axis=self.axis, shard_ids=self._ids,
+                valid_per_shard=valid, pool=pool,
+                recall_target=self.recall_target,
+                score_dtype=self.score_dtype,
+                code_scales=self._scales, q_code_scales=q_scales,
+                row_mask=slot_mask,
+                **packed_kw,
+            )
+
+        try:
+            vals, ids = run()
+        except ValueError:
+            raise
+        except Exception as e:
+            # Mosaic unavailable / lowering error on the packed kernel:
+            # degrade to the XLA unpack+matmul twin permanently, same
+            # semantics as BinaryIndex._pallas_broken
+            if not packed_kw or packed_kw.get("use_pallas") is False:
+                raise
+            import warnings
+
+            warnings.warn(
+                "sharded packed stage-1 kernel failed; falling back to "
+                f"the XLA unpack+matmul scan: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self.use_pallas = False
+            packed_kw["use_pallas"] = False
+            vals, ids = run()
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
 
     # --- persistence (serving config travels with the data)
@@ -941,30 +982,39 @@ class ShardedTwoStageIndex:
                 np.asarray(z["fills"], np.int64) if "fills" in z
                 else np.full(saved_ndev, size // saved_ndev, np.int64)
             )
-            code_width = idx.n_bits
             if "codes_packed_t" in z.files:
                 # unpack the saved packed words back to sign codes so the
-                # normal write path re-packs per the NEW striping
+                # normal write path re-packs per the NEW striping —
+                # per saved shard, trimmed to the used pack blocks, so
+                # host memory scales with SIZE, not saved capacity
                 from sessionsimilaritysearch_tpu.ops.hamming import (
                     unpack_bits_t_np,
                 )
 
-                raw_cod = unpack_bits_t_np(
-                    z["codes_packed_t"], int(z["block_rows"])
+                br = int(z["block_rows"])
+                s_rows = br // 32
+                pw = np.asarray(z["codes_packed_t"]).reshape(
+                    saved_ndev, old_rows // 32, -1
                 )
-                code_width = raw_cod.shape[1]  # bits_pad
-            elif "codes" in z.files:
-                raw_cod = np.asarray(z["codes"])
+                flat_cod = np.concatenate([
+                    unpack_bits_t_np(
+                        pw[s, : (-(-int(fills[s]) // br)) * s_rows], br
+                    )[: fills[s]]
+                    for s in range(saved_ndev)
+                ])
             else:
-                raw_cod = np.asarray(z["codes_f16"])
+                raw_cod = (
+                    np.asarray(z["codes"]) if "codes" in z.files
+                    else np.asarray(z["codes_f16"])
+                )
+                cod = raw_cod.reshape(saved_ndev, old_rows, idx.n_bits)
+                flat_cod = np.concatenate(
+                    [cod[s, : fills[s]] for s in range(saved_ndev)]
+                )
             buf = np.asarray(z["buf"]).reshape(saved_ndev, old_rows, idx.dim)
-            cod = raw_cod.reshape(saved_ndev, old_rows, code_width)
             ids = np.asarray(z["ids"]).reshape(saved_ndev, old_rows)
             flat_buf = np.concatenate(
                 [buf[s, : fills[s]] for s in range(saved_ndev)]
-            )
-            flat_cod = np.concatenate(
-                [cod[s, : fills[s]] for s in range(saved_ndev)]
             )
             flat_ids = np.concatenate(
                 [ids[s, : fills[s]] for s in range(saved_ndev)]

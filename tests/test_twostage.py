@@ -330,10 +330,10 @@ class TestTwoStageIndex:
 
 
 class TestPackedStage1:
-    """stage1='packed': the fused Pallas XOR+popcount scan (BinaryIndex
-    packed semantics; XLA popcount fallback on CPU) replaces the sign
-    matmul for the 'binary'/'itq' prefilters — 1 bit/bit of stage-1 HBM
-    and an EXACT Hamming top-pool."""
+    """stage1='packed': the fused unpack->MXU scan over transposed-packed
+    codes (BinaryIndex packed semantics; XLA unpack+matmul twin on CPU)
+    replaces the sign matmul for the 'binary'/'itq' prefilters — 1 bit/bit
+    of stage-1 HBM and an EXACT Hamming top-pool."""
 
     @pytest.mark.parametrize("prefilter", ["binary", "itq"])
     def test_full_pool_recovers_exact(self, data, prefilter):
@@ -688,6 +688,40 @@ class TestShardedTwoStage:
         _, I_all = idx.search(rows[:8], 10, pool=2048)
         removed = set(range(0, 256, 3))
         assert not (set(I_all.reshape(-1).tolist()) & removed)
+
+    def test_sharded_packed_mosaic_fallback(self, mesh, rng, monkeypatch):
+        """If the packed kernel fails to lower (the documented dev-TPU
+        Mosaic condition), the sharded search must warn and degrade to
+        the XLA unpack+matmul twin permanently — BinaryIndex._pallas_broken
+        semantics — instead of hard-crashing the engine config."""
+        import warnings as _warnings
+
+        from sessionsimilaritysearch_tpu.index import ShardedTwoStageIndex
+        from sessionsimilaritysearch_tpu.ops import pallas_mips
+
+        rows = rng.standard_normal((512, 24)).astype(np.float32)
+        # capacity large enough that the kernel's bucket budget accepts
+        # the pool (shard_rows/16 >= pool), so the kernel path is chosen
+        idx = ShardedTwoStageIndex(dim=24, capacity=8 * 16384, mesh=mesh,
+                                   n_bits=64, stage1="packed",
+                                   use_pallas=True, pool=128)
+        idx.add(rows)
+        calls = []
+
+        def boom(*a, **k):
+            calls.append(1)
+            raise RuntimeError("Mosaic lowering failed (simulated)")
+
+        monkeypatch.setattr(pallas_mips, "pallas_packed_topk", boom)
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            _, I = idx.search(rows[:5], 5)
+        assert calls, "kernel path was never attempted"
+        np.testing.assert_array_equal(I[:, 0], np.arange(5))
+        assert any("falling back" in str(x.message) for x in w)
+        assert idx.use_pallas is False  # degraded permanently
+        _, I = idx.search(rows[5:10], 5)  # straight to the twin now
+        np.testing.assert_array_equal(I[:, 0], np.arange(5, 10))
 
     def test_sharded_packed_save_load_restripe(self, mesh, tmp_path, rng):
         import jax as _jax
