@@ -217,6 +217,29 @@ class TestBinaryRemove:
         np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
         np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
 
+    def test_packed_multi_block_remove_readd(self, rng):
+        """Removals whose moves cross PACK-BLOCK boundaries (2048 slots):
+        tail survivors living in later blocks must land bit-exactly in
+        holes in earlier blocks, and freed multi-block tails must zero.
+        (The single-block tests can't catch cross-block coordinate bugs.)"""
+        n = 5000  # spans 3 pack blocks
+        signs = np.where(rng.standard_normal((n + 500, 64)) > 0, 1.0, -1.0)
+        idx = BinaryIndex(n_bits=64, capacity=n + 500, mode="packed")
+        idx.add(signs[:n])
+        # holes in block 0 and block 1; survivors pulled from block 2
+        ids = list(range(10, 40)) + list(range(2100, 2130)) + [4999]
+        idx.remove_ids(ids)
+        rows = apply_plan(signs[:n], n, ids)
+        idx.add(signs[n:n + 500])  # re-occupy freed slots across blocks
+        rows = np.concatenate([rows, signs[n:n + 500]])
+        fresh = BinaryIndex(n_bits=64, capacity=n + 500, mode="packed")
+        fresh.add(rows)
+        q = np.where(rng.standard_normal((6, 64)) > 0, 1.0, -1.0)
+        D1, I1 = idx.search(q, 9)
+        D2, I2 = fresh.search(q, 9)
+        np.testing.assert_array_equal(np.asarray(D1), np.asarray(D2))
+        np.testing.assert_array_equal(np.asarray(I1), np.asarray(I2))
+
     def test_packed_tail_only_removal_frees_bits(self, rng):
         """Pure-tail removals produce ZERO moves but still free slots;
         the freed bits must be zeroed or the next add corrupts codes."""
