@@ -523,6 +523,87 @@ def main():
               f"vr10={vr:.4f}  type@10={modes[name]['ave_type_score10']:.4f}",
               flush=True)
 
+    # --- packed capacity tier on TRAINED embeddings: the ITQ codes stored
+    # transposed-packed at 1 bit/bit of HBM and scanned by the fused
+    # unpack->MXU kernel (BinaryIndex(mode='packed') /
+    # TwoStageIndex(stage1='packed') production path; docs/RESULTS.md
+    # "Packed tier re-engineered"). Two rows: the standalone packed code
+    # scan (exact Hamming ranking == binary sign at 1/16th the memory) and
+    # the packed-stage-1 two-stage (exact top-pool + full-dim re-rank).
+    from sessionsimilaritysearch_tpu.ops.hamming import pack_bits_t_np
+    from sessionsimilaritysearch_tpu.ops.pallas_mips import (
+        pallas_packed_topk,
+    )
+
+    bits_pad = -(-itq_bits // 128) * 128
+    n_pack = -(-N // 16384) * 16384  # whole kernel groups
+    ci_host = np.zeros((n_pack, bits_pad), np.float32)
+    ci_host[:N, :itq_bits] = np.asarray(ci_signs, np.float32)
+    ci_packed = jnp.asarray(pack_bits_t_np(ci_host))
+    del ci_host
+    qi_pad = jnp.pad(qi_signs, ((0, 0), (0, bits_pad - itq_bits)))
+    nq_real = qi_pad.shape[0]
+    q_rows = -(-nq_real // 256) * 256  # kernel query-block multiple
+    if q_rows != nq_real:
+        qi_pad = jnp.pad(qi_pad, ((0, q_rows - nq_real), (0, 0)))
+    vc = jnp.asarray(N, jnp.int32)
+    interp = jax.devices()[0].platform == "cpu"  # Mosaic needs interpret
+    jax.block_until_ready((ci_packed, qi_pad))
+    try:
+        dt, out = _timed(
+            lambda q: pallas_packed_topk(
+                q, ci_packed, K, n_bits=itq_bits, valid_count=vc,
+                interpret=interp,
+            ),
+            qi_pad, args.iters, chain_b,
+        )
+        I = np.asarray(out[1])[:nq_real]
+        modes["binary_packed_itq"] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "qps": round(args.queries / dt, 0),
+            "value_recall10": None,
+            "hbm_bytes_per_row": bits_pad // 8,
+            "ave_type_score10": round(
+                get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                              "all_product_type_score"), 4),
+        }
+        print(f"{'binary_packed_itq':>18}: {dt*1e3:7.1f} ms  "
+              f"{args.queries/dt:9,.0f} qps  vr10=--  "
+              f"type@10={modes['binary_packed_itq']['ave_type_score10']:.4f}"
+              f"  ({bits_pad // 8} B/row)", flush=True)
+
+        pool = 128
+
+        def packed_ts(qs, p=pool):
+            _, cand = pallas_packed_topk(
+                qs, ci_packed, p, n_bits=itq_bits, valid_count=vc,
+                interpret=interp,
+            )
+            return rerank_topk(queries, corpus, cand[:nq_real], K,
+                               score_dtype=jnp.float32)
+
+        def chain_packed_ts(qs, out):
+            # scalar flag: out rows (nq_real) != padded query rows
+            return jnp.where(out[0][:1, :1] > 1e30, -qs, qs)  # never flips
+
+        dt, out = _timed(packed_ts, qi_pad, args.iters, chain_packed_ts)
+        I = np.asarray(out[1])
+        name = f"twostage_packeditq_pool{pool}"
+        modes[name] = {
+            "ms_per_batch": round(dt * 1e3, 1),
+            "qps": round(args.queries / dt, 0),
+            "value_recall10": None,
+            "ave_type_score10": round(
+                get_ave_score(I[:nq, :10], test_data[:nq], corpus_sessions,
+                              "all_product_type_score"), 4),
+        }
+        print(f"{name:>18}: {dt*1e3:7.1f} ms  {args.queries/dt:9,.0f} qps  "
+              f"vr10=--  type@10={modes[name]['ave_type_score10']:.4f}",
+              flush=True)
+    except Exception as e:  # Mosaic unavailable off-TPU
+        print(f"# packed rows skipped: {e!r}", flush=True)
+    del ci_packed
+
     result = {
         "sessions": N,
         "dim": D,
