@@ -17,6 +17,7 @@ Smoke:     python examples/quality_protocol.py --platform cpu \
 """
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -288,6 +289,9 @@ def run_seed(seed: int, args) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--seed-base", type=int, default=0, help=(
+        "offset added to every seed index: run big-budget seeds "
+        "one per process and merge (host-OOM isolation)"))
     ap.add_argument("--corpus", type=int, default=100_000)
     ap.add_argument("--train", type=int, default=4000)
     ap.add_argument("--queries", type=int, default=200)
@@ -333,7 +337,15 @@ def main():
         float(a) for a in args.alpha_sweep.split(",") if a.strip()
     ]
 
-    all_scores = [run_seed(s, args) for s in range(args.seeds)]
+    all_scores = []
+    for s in range(args.seeds):
+        all_scores.append(run_seed(args.seed_base + s, args))
+        # long multi-seed runs at big train budgets OOM-killed the host
+        # (130 GB RSS by seed 3): drop every jit cache + host garbage
+        # between trials; for the biggest budgets run one seed per
+        # process (--seed-base) and merge
+        jax.clear_caches()
+        gc.collect()
     systems = list(all_scores[0])
     print(
         f"\n=== ave type score@10, {args.seeds} seeds, "
