@@ -717,6 +717,16 @@ class SessionSearchEngine:
         cosine D matrix to include the |score - jaccard| diagnostic."""
         return metrics_mod.full_report(D, I, list(test_data), self.sessions)
 
+    def reconstruct(self, ids) -> np.ndarray:
+        """Stored embedding rows for result ids, [m, d] float32
+        (``faiss.Index.reconstruct_batch`` counterpart): the row exactly
+        as the index scores it (normalized / centered / dequantized per
+        the index's storage). Id semantics are the index's own — STABLE
+        global ids on sharded engines, positional (renumbered by
+        remove_sessions) single-chip; ids straight from :meth:`search`
+        results are always valid until the row is removed."""
+        return self.index.reconstruct_batch(ids)
+
     def stats(self) -> dict:
         s = self.timer.summary()
         s["ntotal"] = self.index.ntotal

@@ -203,6 +203,33 @@ class BinaryIndex:
             )
         self.size += m
 
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """Return stored codes by position as [m, n_bits] float32 ±1 rows
+        (``faiss.IndexBinaryFlat.reconstruct_batch`` counterpart — FAISS
+        returns the packed uint8 code bytes; the ±1 sign row is this
+        engine's native code form, identical information). Packed mode
+        extracts bit ``j`` of the transposed words at the slot's
+        coordinates (ops.hamming.t_slot_coords); sign mode reads the row.
+        Ids are positional (renumbered by :meth:`remove_ids`)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.size):
+            raise IndexError(
+                f"reconstruct ids must lie in [0, {self.size})"
+            )
+        if self.mode == "packed":
+            p, j = hamming.t_slot_coords(ids, self.block_rows)
+            words = np.asarray(
+                jnp.take(self._buf, jnp.asarray(p), axis=0)
+            )[:, : self.n_bits]
+            bits01 = (words >> np.asarray(j, np.int32)[:, None]) & 1
+            return (2.0 * bits01 - 1.0).astype(np.float32)
+        rows = jnp.take(self._buf, jnp.asarray(ids), axis=0)
+        return np.asarray(rows.astype(jnp.float32))
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        """Single-row form: [n_bits] float32 ±1."""
+        return self.reconstruct_batch([int(i)])[0]
+
     def remove_ids(self, ids) -> int:
         """Remove codes by row id (``faiss.IndexBinaryFlat.remove_ids``
         counterpart). Swap-with-last compaction: surviving row ids change

@@ -229,6 +229,29 @@ class DenseIndex:
         self.size = new_size
         return removed
 
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """Return stored rows by position (``faiss.Index.reconstruct_batch``
+        counterpart): [m, d] float32, each row exactly as the index scores
+        it — unit-normalized under 'cos', centered if ``center=`` is on,
+        and the DEQUANTIZED approximation (code × scale) under int8 modes
+        (FAISS likewise reconstructs the decoded vector, not the original).
+        Ids are positional (this index renumbers on :meth:`remove_ids`)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.size):
+            raise IndexError(
+                f"reconstruct ids must lie in [0, {self.size})"
+            )
+        rows = jnp.take(self._buf, jnp.asarray(ids), axis=0)
+        rows = rows.astype(jnp.float32)
+        if self.quantize:
+            scales = jnp.take(self._scales, jnp.asarray(ids))
+            rows = rows * scales[:, None]
+        return np.asarray(rows)
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        """Single-row form (``faiss.Index.reconstruct``): [d] float32."""
+        return self.reconstruct_batch([int(i)])[0]
+
     def search(self, queries, k: int,
                row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:

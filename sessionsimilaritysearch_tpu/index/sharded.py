@@ -64,6 +64,28 @@ def plan_sharded_removal(host_ids, fills, gids):
     return src, dst, new_fills
 
 
+def global_id_positions(host_ids, fills, gids) -> np.ndarray:
+    """Locate global ids in a striped corpus: [m] global row positions
+    (shard-major: shard * shard_rows + slot, the row order of the
+    row-sharded device buffer) for ``gids``, in the order given.
+    ``host_ids``/``fills`` as in :func:`plan_sharded_removal`. Raises
+    KeyError for ids that are absent (never inserted, or removed)."""
+    gids = np.asarray(gids, np.int64).reshape(-1)
+    ndev, shard_rows = host_ids.shape
+    valid = np.arange(shard_rows)[None, :] < np.asarray(fills)[:, None]
+    flat_ids = np.where(valid, host_ids, -1).reshape(-1)
+    order = np.argsort(flat_ids, kind="stable")
+    pos_in_sorted = np.searchsorted(flat_ids, gids, sorter=order)
+    if gids.size:
+        bad = (pos_in_sorted >= flat_ids.size) | (
+            flat_ids[order[np.minimum(pos_in_sorted, flat_ids.size - 1)]]
+            != gids
+        )
+        if bad.any():
+            raise KeyError(f"ids not present: {gids[bad][:8].tolist()}")
+    return order[pos_in_sorted]
+
+
 class ShardedDenseIndex:
     """Flat exact index over a corpus sharded across a mesh axis.
 
@@ -263,6 +285,25 @@ class ShardedDenseIndex:
         self._fill = new_fills
         self.size = int(new_fills.sum())
         return removed
+
+    def reconstruct_batch(self, gids) -> np.ndarray:
+        """Return stored rows by GLOBAL id (``faiss.Index.reconstruct_batch``
+        counterpart): [m, d] float32 in the order given, unit-normalized
+        under 'cos' and dequantized (code × scale) under int8 modes. Ids
+        here are STABLE (this index's :meth:`remove_ids` never renumbers),
+        so a gid remains reconstructable until removed; absent gids raise.
+        Host lookup via the id mirror, one device gather for the rows."""
+        gids = np.asarray(gids, np.int64).reshape(-1)
+        pos = global_id_positions(self._host_ids, self._fill, gids)
+        rows = jnp.take(self._buf, jnp.asarray(pos), axis=0)
+        rows = rows.astype(jnp.float32)
+        if self.quantize:
+            rows = rows * jnp.take(self._scales, jnp.asarray(pos))[:, None]
+        return np.asarray(rows)
+
+    def reconstruct(self, gid: int) -> np.ndarray:
+        """Single-row form: [d] float32 for one global id."""
+        return self.reconstruct_batch([int(gid)])[0]
 
     # --- live-state round-trip (the checkpoint-utils form of persistence:
     #     save/load below serialize to npz; these expose the FULL serving

@@ -242,6 +242,23 @@ class TwoStageIndex:
         self.size = new_size
         return removed
 
+    def reconstruct_batch(self, ids) -> np.ndarray:
+        """Return stage-2 (full-dim) stored rows by position: [m, d]
+        float32, as the re-rank scores them (unit-norm under 'cos', at
+        ``store_dtype`` precision). FAISS ``reconstruct_batch``
+        counterpart; ids are positional (renumbered by remove_ids)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if ids.size and (ids.min() < 0 or ids.max() >= self.size):
+            raise IndexError(
+                f"reconstruct ids must lie in [0, {self.size})"
+            )
+        rows = jnp.take(self._buf, jnp.asarray(ids), axis=0)
+        return np.asarray(rows.astype(jnp.float32))
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        """Single-row form: [d] float32."""
+        return self.reconstruct_batch([int(i)])[0]
+
     def _stage1(self, qn: jnp.ndarray, pool: int,
                 row_mask=None) -> jnp.ndarray:
         vc = jnp.asarray(self.size, jnp.int32)
@@ -802,6 +819,23 @@ class ShardedTwoStageIndex:
         self._fill = new_fills
         self.size = int(new_fills.sum())
         return removed
+
+    def reconstruct_batch(self, gids) -> np.ndarray:
+        """Return stage-2 (full-dim) stored rows by GLOBAL id: [m, d]
+        float32 in the order given (stable-id semantics — a gid stays
+        reconstructable until removed; absent gids raise KeyError)."""
+        from sessionsimilaritysearch_tpu.index.sharded import (
+            global_id_positions,
+        )
+
+        gids = np.asarray(gids, np.int64).reshape(-1)
+        pos = global_id_positions(self._host_ids, self._fill, gids)
+        rows = jnp.take(self._buf, jnp.asarray(pos), axis=0)
+        return np.asarray(rows.astype(jnp.float32))
+
+    def reconstruct(self, gid: int) -> np.ndarray:
+        """Single-row form: [d] float32 for one global id."""
+        return self.reconstruct_batch([int(gid)])[0]
 
     def search(
         self, queries, k: int, pool: Optional[int] = None, row_mask=None
