@@ -321,7 +321,8 @@ def cmd_evaluate(args):
         if args.mode == "hybrid":
             res = harness.evaluate_hybrid(
                 cfg, tok, encode_fn, corpus_data, test_data, k=args.k,
-                alpha=args.alpha, batch_size=64,
+                alpha=args.alpha, kind=args.hybrid_kind,
+                fusion=args.fusion, batch_size=64,
             )
         else:
             res = harness.evaluate_encoder(
@@ -408,6 +409,14 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--alpha", type=float, default=0.5,
                    help="hybrid mode: weight of the dense term")
+    p.add_argument("--hybrid-kind", default="overlap",
+                   choices=["overlap", "stan"],
+                   help="hybrid mode: sparse term (binary overlap or "
+                        "recency-decayed STAN weights)")
+    p.add_argument("--fusion", default="score", choices=["score", "rrf"],
+                   help="hybrid mode: linear score fusion or "
+                        "reciprocal-rank fusion (the measured-best "
+                        "adversarial-regime system, docs/RESULTS.md)")
     p.add_argument("--save-results", default=None, metavar="PATH",
                    help="pickle D/I + sessions for later --mode load")
     p.add_argument("--results", default=None, metavar="PATH",

@@ -429,21 +429,36 @@ def evaluate_hybrid(
     test_data: Sequence,
     k: int = 100,
     alpha: float = 0.5,
+    kind: str = "overlap",
+    fusion: str = "score",
+    lammy: float = 1.04,
     with_report: bool = True,
     batch_size: int = 256,
 ) -> SearchResult:
-    """Hybrid retrieval: fuse the learned session-embedding cosine with the
-    sparse item-overlap cosine per (query, corpus) pair,
+    """Hybrid retrieval: fuse the learned session-embedding cosine with a
+    sparse item cosine per (query, corpus) pair.
 
-        score = alpha * dense_cos + (1 - alpha) * overlap_cos.
+    ``kind``: the sparse term — 'overlap' (binary-indicator item cosine,
+    SKNN's signal, test_amazon_filterd.py:48-57) or 'stan' (recency-decayed
+    STAN weights on the QUERY side only; the corpus stays binary, the
+    reference's STAN convention — test_amazon_filterd.py:589-605, same as
+    :func:`evaluate_sparse`).
 
-    Both terms are cosines of L2-normalized vectors, so raw fusion is
-    well-scaled. In-catalog the overlap term supplies SKNN's near-oracle
-    item-match signal (test_amazon_filterd.py:48-57); out-of-catalog the
-    overlap collapses to ~0 for every candidate and the dense term carries
+    ``fusion``: 'score' fuses the two cosines linearly
+    (``alpha * dense + (1-alpha) * sparse``; both are cosines of
+    L2-normalized vectors, so raw fusion is well-scaled) and 'rrf' fuses
+    reciprocal ranks (``1/(60+r_dense) + 1/(60+r_sparse)``) — scale-immune,
+    and the measured-best system on the adversarial regime
+    (docs/RESULTS.md "Closing the STAN gap": rrf+stan beats STAN 3/3
+    seeds). Same semantics as ``SessionSearchEngine.search(hybrid_kind=,
+    hybrid_fusion=)`` but over the full corpus rather than an overfetched
+    candidate pool. In-catalog the sparse term supplies the item-match
+    signal; out-of-catalog it collapses to ~0 and the dense term carries
     retrieval — so the hybrid dominates both single systems across regimes
     (docs/RESULTS.md). The reference evaluates its modes separately and
     never fuses; this is a serving capability it lacks."""
+    assert kind in ("overlap", "stan")
+    assert fusion in ("score", "rrf")
     corpus_sessions = [d[0] if isinstance(d, tuple) else d for d in corpus_data]
     pipe = EmbeddingPipeline(cfg, tokenizer, encode_fn, batch_size)
     t0 = time.perf_counter()
@@ -455,14 +470,43 @@ def evaluate_hybrid(
     sc = sparse_index.build_sparse_corpus(
         corpus_sessions, cfg.asin_num, kind="binary"
     )
-    sq = np.stack([
-        sparse_index.sequence_to_binary_vec(t[0], cfg.asin_num)
-        for t in test_data
-    ])
+    if kind == "overlap":
+        sq = np.stack([
+            sparse_index.sequence_to_binary_vec(t[0], cfg.asin_num)
+            for t in test_data
+        ])
+    else:
+        sq = np.stack([
+            sparse_index.sequence_to_stan_vec(t[0], cfg.asin_num, lammy)
+            for t in test_data
+        ])
     t2 = time.perf_counter()
     dense = qe @ ce.T                       # [nq, n] cosine
     overlap = np.asarray(sc.dot(sq.T)).T    # [nq, n] cosine
-    fused = alpha * dense + (1.0 - alpha) * overlap
+    if fusion == "rrf":
+        nq, n = dense.shape
+        rows = np.repeat(np.arange(nq, dtype=np.int64), n)
+        # dense ranks (0 = best; stable order for exact ties)
+        d_order = np.argsort(-dense, axis=1, kind="stable")
+        r_dense = np.empty((nq, n), np.int64)
+        np.put_along_axis(
+            r_dense, d_order, np.arange(n, dtype=np.int64)[None, :], axis=1
+        )
+        # sparse ranks, dense rank as the tiebreak (engine._hybrid_rerank
+        # semantics: rows the sparse term cannot distinguish keep their
+        # dense preference)
+        s_order = np.lexsort(
+            (r_dense.ravel(), -overlap.ravel(), rows)
+        ).reshape(nq, n) % n
+        r_sparse = np.empty((nq, n), np.int64)
+        np.put_along_axis(
+            r_sparse, s_order, np.arange(n, dtype=np.int64)[None, :], axis=1
+        )
+        fused = (
+            1.0 / (60.0 + r_dense) + 1.0 / (60.0 + r_sparse)
+        ).astype(np.float32)
+    else:
+        fused = alpha * dense + (1.0 - alpha) * overlap
     kk = min(k, fused.shape[1])
     part = np.argpartition(-fused, kk - 1, axis=1)[:, :kk]
     vals = np.take_along_axis(fused, part, axis=1)

@@ -248,3 +248,34 @@ class TestHybrid:
         assert res.I.shape == (4, 6)
         assert (res.I >= 0).all()
         assert "ave_all_product_type_score" in res.report
+
+    def test_stan_kind_matches_stan_oracle_at_alpha0(self, gen, tokenizer):
+        corpus_data = gen.dataset(18)
+        test_data = gen.dataset(4)
+        cfg, encode_fn = self._encode_fn(tokenizer, corpus_data)
+        sparse = harness.evaluate_sparse(
+            cfg, [d[0] for d in corpus_data], test_data, kind="stan",
+            k=5, with_report=False,
+        )
+        h0 = harness.evaluate_hybrid(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            alpha=0.0, kind="stan", batch_size=8, with_report=False,
+        )
+        np.testing.assert_allclose(
+            np.sort(h0.D, axis=1), np.sort(sparse.D, axis=1), atol=1e-6
+        )
+
+    def test_rrf_fusion_ranks(self, gen, tokenizer):
+        corpus_data = gen.dataset(16)
+        test_data = gen.dataset(3)
+        cfg, encode_fn = self._encode_fn(tokenizer, corpus_data)
+        res = harness.evaluate_hybrid(
+            cfg, tokenizer, encode_fn, corpus_data, test_data, k=5,
+            fusion="rrf", kind="stan", batch_size=8, with_report=False,
+        )
+        assert res.I.shape == (3, 5) and (res.I >= 0).all()
+        # rrf scores are bounded by 2/60 and strictly positive for real rows
+        assert (res.D > 0).all() and (res.D <= 2.0 / 60.0 + 1e-9).all()
+        # rank-0 in both systems would be 2/60; the top slot must be the
+        # best achievable fused score of its row (descending order holds)
+        assert (np.diff(res.D, axis=1) <= 1e-12).all()
