@@ -45,6 +45,7 @@ import numpy as np
 from sessionsimilaritysearch_tpu.index.dense import (
     _move_rows,
     _padded_moves,
+    _range_from_search,
     _write_rows,
     compaction_plan,
 )
@@ -396,6 +397,46 @@ class BinaryIndex:
                 valid_count=vc, row_mask=mask,
             )
         return d, i
+
+    def range_search(
+        self, q_signs, radius: float, k0: int = 128,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All codes within Hamming distance ``radius`` of each query
+        (``faiss.IndexBinaryFlat.range_search`` counterpart). Returns the
+        FAISS CSR triple ``(lims [q+1] int64, D, I)`` with each query's
+        slice sorted nearest-first. Exact via adaptive-depth top-k over
+        the fixed-capacity scan (depth doubles from ``k0`` until each
+        query's deepest hit exceeds the radius) — at most O(log size)
+        compiled programs, shared with :meth:`search`'s cache."""
+        nq = int(np.asarray(q_signs).shape[0]) if not isinstance(
+            q_signs, jnp.ndarray
+        ) else int(q_signs.shape[0])
+        return _range_from_search(
+            lambda k: self.search(q_signs, k),
+            nq, radius, descending=False, total=self.size, k0=k0,
+        )
+
+    def merge_from(self, other: "BinaryIndex", batch: int = 65536) -> int:
+        """Append ``other``'s stored codes (``faiss.IndexBinaryFlat.
+        merge_from`` counterpart). Ids shift by ``self.ntotal`` as in
+        FAISS; ``other`` is left intact. Works across storage modes
+        (sign <-> packed): codes stream through
+        :meth:`reconstruct_batch` -> :meth:`add` in ``batch``-row chunks,
+        so the transposed-pack invariants (scatter-OR into zeroed bits)
+        are preserved by construction. Returns the row count appended."""
+        assert isinstance(other, BinaryIndex)
+        if other.n_bits != self.n_bits:
+            raise ValueError(
+                f"code width mismatch: {self.n_bits} vs {other.n_bits}"
+            )
+        if self.size + other.size > self.capacity:
+            raise ValueError(
+                f"index full: {self.size}+{other.size} > {self.capacity}"
+            )
+        for start in range(0, other.size, batch):
+            ids = np.arange(start, min(start + batch, other.size))
+            self.add(other.reconstruct_batch(ids))
+        return other.size
 
     # --- persistence (reference: faiss.write_index/read_index for the
     #     binary index are absent upstream -- fine_tune_ours.py rebuilds

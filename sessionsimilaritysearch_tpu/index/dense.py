@@ -84,6 +84,42 @@ def _padded_moves(
     return jnp.asarray(s), jnp.asarray(d)
 
 
+def _range_from_search(
+    search_fn, nq: int, radius: float, *, descending: bool,
+    total: int, k0: int = 128,
+):
+    """Exact range search built on adaptive-depth top-k.
+
+    TPU-native formulation of ``faiss.Index.range_search``: rather than a
+    variable-length scatter on device (dynamic shapes don't jit), run the
+    existing fixed-shape top-k scan and DOUBLE the depth until every
+    query's k-th result falls outside the radius (or depth reaches the
+    corpus). Depths are powers of two, so a stream of range queries
+    compiles O(log size) scan programs total, all cached. Returns FAISS's
+    CSR convention ``(lims [nq+1], D, I)`` with each query's slice
+    ``D[lims[i]:lims[i+1]]`` sorted best-first (FAISS leaves slices
+    unordered; sorted is strictly stronger).
+    """
+    if total == 0 or nq == 0:
+        return (
+            np.zeros(nq + 1, np.int64),
+            np.zeros(0, np.float32),
+            np.zeros(0, np.int64),
+        )
+    k = min(max(8, k0), total)
+    while True:
+        d, i = search_fn(k)
+        ok = (i >= 0) & (d >= radius if descending else d <= radius)
+        # a fully-within-radius result row means the radius set may extend
+        # past this depth -- double and rescan (exactness over latency)
+        if k >= total or not ok.all(axis=1).any():
+            break
+        k = min(k * 2, total)
+    lims = np.zeros(nq + 1, np.int64)
+    np.cumsum(ok.sum(axis=1), out=lims[1:])
+    return lims, d[ok], i[ok].astype(np.int64)
+
+
 @jax.jit
 def _quantize_rows_int8(emb: jnp.ndarray):
     """Per-row symmetric int8: code = round(row / s), s = max|row| / 127.
@@ -315,6 +351,78 @@ class DenseIndex:
         if self.metric == "l2":
             vals = -vals  # back to ascending squared distance
         return vals, idx
+
+    def range_search(
+        self, queries, radius: float, k0: int = 128,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All rows within ``radius`` of each query
+        (``faiss.Index.range_search`` counterpart; the reference's flat
+        indexes expose it, fine_tune_ours.py:844-849). Returns FAISS's CSR
+        triple ``(lims [q+1] int64, D, I)``: query ``i``'s neighbors are
+        ``I[lims[i]:lims[i+1]]``, sorted best-first.
+
+        Radius semantics follow the metric: 'cos'/'ip' keep rows with
+        score >= radius; 'l2' keeps squared distance <= radius. Exact:
+        implemented as an adaptive-depth top-k (depth doubles from ``k0``
+        until each query's deepest hit falls outside the radius), so it
+        reuses the zero-retrace fixed-capacity scan and compiles at most
+        O(log size) programs. Prefer :meth:`search` on latency-critical
+        paths when a depth bound is known."""
+        queries = np.asarray(queries)
+        return _range_from_search(
+            lambda k: self.search(queries, k),
+            queries.shape[0], radius,
+            descending=self.metric != "l2", total=self.size, k0=k0,
+        )
+
+    def merge_from(self, other: "DenseIndex") -> int:
+        """Append ``other``'s stored rows (``faiss.Index.merge_from``
+        counterpart — shard-consolidation maintenance). ``other``'s row
+        ids shift by ``self.ntotal`` exactly as in FAISS; unlike FAISS,
+        ``other`` is left intact. Requires identical dim/metric/quantize
+        and an identical center transform (rows are stored
+        post-transform, so differing transforms cannot share a buffer);
+        an unfitted ``center='auto'`` index adopts ``other``'s fitted
+        mean. One donated device write; retraces per distinct source size
+        (maintenance op, not a serving path). Returns the row count
+        appended."""
+        assert isinstance(other, DenseIndex)
+        if (self.dim, self.metric, self.quantize) != (
+            other.dim, other.metric, other.quantize
+        ):
+            raise ValueError(
+                "merge_from requires identical dim/metric/quantize: "
+                f"({self.dim},{self.metric},{self.quantize}) vs "
+                f"({other.dim},{other.metric},{other.quantize})"
+            )
+        if self.size + other.size > self.capacity:
+            raise ValueError(
+                f"index full: {self.size}+{other.size} > {self.capacity}"
+            )
+        if self._center is None and other._center is not None:
+            if self.center_mode == "auto" and self.size == 0:
+                self._center = other._center
+            else:
+                raise ValueError("center transform mismatch")
+        elif (self._center is None) != (other._center is None) or (
+            self._center is not None
+            and not np.allclose(
+                np.asarray(self._center), np.asarray(other._center)
+            )
+        ):
+            raise ValueError("center transform mismatch")
+        if other.size == 0:
+            return 0
+        rows = other._buf[: other.size].astype(self.dtype)
+        self._buf = _write_rows(
+            self._buf, rows, jnp.asarray(self.size, jnp.int32)
+        )
+        if self.quantize:
+            self._scales = jax.lax.dynamic_update_slice(
+                self._scales, other._scales[: other.size], (self.size,)
+            )
+        self.size += other.size
+        return other.size
 
     # --- persistence (reference: faiss.write_index/read_index,
     #     test_amazon_filterd.py:96-97,159,176 -- commented out upstream,
