@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sessionsimilaritysearch_tpu.index.dense import (
+    DenseIndex,
     _move_rows,
     _padded_moves,
     _quantize_rows_int8,
@@ -258,6 +259,40 @@ class TwoStageIndex:
     def reconstruct(self, i: int) -> np.ndarray:
         """Single-row form: [d] float32."""
         return self.reconstruct_batch([int(i)])[0]
+
+    def merge_from(self, other, batch: int = 65536) -> int:
+        """Append ``other``'s stored rows (``faiss.Index.merge_from``
+        counterpart). ``other`` is another :class:`TwoStageIndex` or a
+        non-centered :class:`DenseIndex` — anything whose
+        ``reconstruct_batch`` yields the stored full-dim rows. Rows
+        stream through reconstruct -> :meth:`add` in ``batch`` chunks, so
+        stage-1 codes are recomputed under THIS index's prefilter config
+        (the two indexes' prefilter/pool/seed may differ freely). Ids
+        shift by ``self.ntotal`` as in FAISS; ``other`` is left intact.
+        Row values round-trip at ``other``'s storage precision (bf16 for
+        the default store_dtype). Returns the row count appended."""
+        if getattr(other, "dim", None) != self.dim or getattr(
+            other, "metric", None
+        ) != self.metric:
+            raise ValueError(
+                "merge_from requires identical dim/metric: "
+                f"({self.dim},{self.metric}) vs "
+                f"({getattr(other, 'dim', None)},"
+                f"{getattr(other, 'metric', None)})"
+            )
+        if isinstance(other, DenseIndex) and other._center is not None:
+            raise ValueError(
+                "cannot merge centered-cosine rows: the stored rows are "
+                "post-center-transform and this index scores raw cosine"
+            )
+        if self.size + other.size > self.capacity:
+            raise ValueError(
+                f"index full: {self.size}+{other.size} > {self.capacity}"
+            )
+        for start in range(0, other.size, batch):
+            ids = np.arange(start, min(start + batch, other.size))
+            self.add(other.reconstruct_batch(ids))
+        return other.size
 
     def _stage1(self, qn: jnp.ndarray, pool: int,
                 row_mask=None) -> jnp.ndarray:

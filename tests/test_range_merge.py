@@ -192,3 +192,45 @@ class TestBinaryRangeAndMerge:
         b = BinaryIndex(n_bits=32, capacity=8)
         with pytest.raises(ValueError, match="width"):
             a.merge_from(b)
+
+
+class TestTwoStageMergeFrom:
+    def test_merge_from_twostage_and_dense(self, rng):
+        from sessionsimilaritysearch_tpu.index.twostage import TwoStageIndex
+
+        a = rng.standard_normal((60, 24)).astype(np.float32)
+        b = rng.standard_normal((40, 24)).astype(np.float32)
+        merged = TwoStageIndex(
+            dim=24, capacity=128, pool=128, n_bits=64, interpret=True
+        )
+        merged.add(a)
+        # source 1: another two-stage with a DIFFERENT prefilter seed
+        src_ts = TwoStageIndex(
+            dim=24, capacity=40, pool=64, n_bits=32, seed=7, interpret=True
+        )
+        src_ts.add(b)
+        assert merged.merge_from(src_ts, batch=16) == 40
+        assert merged.ntotal == 100
+        # full pool -> stage 2 is the exact ranking; compare to a dense
+        # oracle over the SAME bf16-stored rows
+        oracle = build_index(
+            np.concatenate([a, b]), metric="cos"
+        )
+        q = rng.standard_normal((5, 24)).astype(np.float32)
+        dm, im = merged.search(q, 10)
+        do, io = oracle.search(q, 10)
+        np.testing.assert_array_equal(im, io)
+        np.testing.assert_allclose(dm, do, atol=2e-2)  # bf16 storage
+        # source 2: a plain DenseIndex merges too
+        more = rng.standard_normal((20, 24)).astype(np.float32)
+        merged.merge_from(build_index(more, metric="cos"))
+        assert merged.ntotal == 120
+        # centered dense rows must refuse
+        cen = build_index(more, metric="cos", center="auto")
+        with pytest.raises(ValueError, match="center"):
+            merged.merge_from(cen)
+        bad = TwoStageIndex(
+            dim=16, capacity=8, pool=8, n_bits=32, interpret=True
+        )
+        with pytest.raises(ValueError, match="dim/metric"):
+            merged.merge_from(bad)
