@@ -399,7 +399,7 @@ class BinaryIndex:
         return d, i
 
     def range_search(
-        self, q_signs, radius: float, k0: int = 128,
+        self, q_signs, radius: float, k0: int = 128, row_mask=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All codes within Hamming distance ``radius`` of each query
         (``faiss.IndexBinaryFlat.range_search`` counterpart). Returns the
@@ -407,12 +407,18 @@ class BinaryIndex:
         slice sorted nearest-first. Exact via adaptive-depth top-k over
         the fixed-capacity scan (depth doubles from ``k0`` until each
         query's deepest hit exceeds the radius) — at most O(log size)
-        compiled programs, shared with :meth:`search`'s cache."""
-        nq = int(np.asarray(q_signs).shape[0]) if not isinstance(
-            q_signs, jnp.ndarray
-        ) else int(q_signs.shape[0])
+        compiled programs, shared with :meth:`search`'s cache.
+        ``row_mask`` composes as in :meth:`search`."""
+        if self.selection == "approx":
+            raise ValueError(
+                "range_search needs selection='exact': approx top-k can "
+                "silently drop in-radius rows"
+            )
+        if not isinstance(q_signs, jnp.ndarray):
+            q_signs = np.asarray(q_signs)
+        nq = int(q_signs.shape[0])
         return _range_from_search(
-            lambda k: self.search(q_signs, k),
+            lambda k: self.search(q_signs, k, row_mask=row_mask),
             nq, radius, descending=False, total=self.size, k0=k0,
         )
 

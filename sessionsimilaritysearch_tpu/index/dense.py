@@ -353,7 +353,7 @@ class DenseIndex:
         return vals, idx
 
     def range_search(
-        self, queries, radius: float, k0: int = 128,
+        self, queries, radius: float, k0: int = 128, row_mask=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All rows within ``radius`` of each query
         (``faiss.Index.range_search`` counterpart; the reference's flat
@@ -366,11 +366,17 @@ class DenseIndex:
         implemented as an adaptive-depth top-k (depth doubles from ``k0``
         until each query's deepest hit falls outside the radius), so it
         reuses the zero-retrace fixed-capacity scan and compiles at most
-        O(log size) programs. Prefer :meth:`search` on latency-critical
-        paths when a depth bound is known."""
+        O(log size) programs. ``row_mask`` composes as in :meth:`search`.
+        Prefer :meth:`search` on latency-critical paths when a depth
+        bound is known."""
+        if self.mode == "approx":
+            raise ValueError(
+                "range_search needs an exact selection mode: approx "
+                "top-k can silently drop in-radius rows"
+            )
         queries = np.asarray(queries)
         return _range_from_search(
-            lambda k: self.search(queries, k),
+            lambda k: self.search(queries, k, row_mask=row_mask),
             queries.shape[0], radius,
             descending=self.metric != "l2", total=self.size, k0=k0,
         )

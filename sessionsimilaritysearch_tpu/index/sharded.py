@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sessionsimilaritysearch_tpu.index.dense import (
     _quantize_rows_int8,
+    _range_from_search,
     compaction_plan,
 )
 from sessionsimilaritysearch_tpu.ops import topk as topk_ops
@@ -397,6 +398,29 @@ class ShardedDenseIndex:
             row_mask=slot_mask,
         )
         return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
+
+    def range_search(
+        self, queries, radius: float, k0: int = 128, row_mask=None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All rows within ``radius`` across every shard
+        (``faiss.Index.range_search`` counterpart at scale-out). Returns
+        the FAISS CSR triple ``(lims [q+1] int64, D, I)``; ``I`` carries
+        this index's STABLE global ids, slices sorted best-first. Exact
+        via adaptive-depth top-k over the sharded scan (per-shard
+        candidates clamp to the shard's rows, so the ICI merge stays
+        exact at any depth); compiles O(log size) programs. ``row_mask``
+        is gid-keyed as in :meth:`search`."""
+        if self.mode == "approx":
+            raise ValueError(
+                "range_search needs an exact selection mode: approx "
+                "top-k can silently drop in-radius rows"
+            )
+        queries = np.asarray(queries)
+        return _range_from_search(
+            lambda k: self.search(queries, k, row_mask=row_mask),
+            queries.shape[0], radius,
+            descending=True, total=self.size, k0=k0,
+        )
 
     # --- persistence: the sharded corpus IS the index (SURVEY.md §5 plan)
     def save(self, path: str) -> None:

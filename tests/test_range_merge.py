@@ -194,6 +194,27 @@ class TestBinaryRangeAndMerge:
             a.merge_from(b)
 
 
+class TestShardedRangeSearch:
+    def test_matches_bruteforce_across_shards(self, rng):
+        from sessionsimilaritysearch_tpu.index.sharded import (
+            ShardedDenseIndex,
+        )
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        corpus = rng.standard_normal((256, 16)).astype(np.float32)
+        idx = ShardedDenseIndex(dim=16, capacity=256, mesh=mesh)
+        idx.add(corpus)
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        radius = 0.3
+        lims, d, i = idx.range_search(q, radius, k0=8)
+        oracle = _unit(q) @ _unit(corpus).T
+        for qi, (dq, iq) in enumerate(_csr_rows(lims, d, i)):
+            want = set(np.nonzero(oracle[qi] >= radius)[0])
+            assert set(iq.tolist()) == want  # gids == insertion order here
+            assert np.all(np.diff(dq) <= 1e-6)
+
+
 class TestTwoStageMergeFrom:
     def test_merge_from_twostage_and_dense(self, rng):
         from sessionsimilaritysearch_tpu.index.twostage import TwoStageIndex
