@@ -660,6 +660,31 @@ class SessionSearchEngine:
         D2, I2 = self.index.search(np.asarray(emb), k2, **kw)
         return self._dedup_topk(D2, I2, k)
 
+    def range_search(self, data: Sequence, radius: float,
+                     k0: int = 128, where: Optional[Callable] = None):
+        """All stored sessions within ``radius`` of each query session
+        (cosine score floor under the default 'cos' metric) — the
+        ``faiss.Index.range_search`` counterpart at the serving layer;
+        the natural API for near-duplicate detection and dedup sweeps.
+        Returns the CSR triple ``(lims [q+1], D, I)``: query ``i``'s
+        neighbors are ``I[lims[i]:lims[i+1]]`` (row ids in this engine's
+        id space — positional single-chip, stable gids sharded), sorted
+        best-first. ``where`` filters as in :meth:`search`. Exact; the
+        engine's index must be an exact-mode dense/sharded-dense (the
+        two-stage pool bound has no radius semantics — build the engine
+        without ``prefilter=`` for radius workloads)."""
+        if not hasattr(self.index, "range_search"):
+            raise ValueError(
+                "range_search needs an exact full-corpus index; this "
+                f"engine serves a {type(self.index).__name__} (two-stage "
+                "pools have no radius semantics)"
+            )
+        emb = self.embed(data)
+        mask = self._where_mask(where) if where is not None else None
+        return self.index.range_search(
+            np.asarray(emb), radius, k0=k0, row_mask=mask
+        )
+
     def _where_mask(self, where: Callable) -> np.ndarray:
         """Evaluate a session predicate into the index's row mask:
         positional for the single-chip indexes, gid-keyed for the sharded

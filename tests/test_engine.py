@@ -488,3 +488,43 @@ class TestStanHybrid:
         ])
         top = np.sort(sims)[::-1][:3]
         np.testing.assert_allclose(np.sort(D0[0])[::-1], top, atol=1e-5)
+
+
+class TestEngineRangeSearch:
+    def test_self_in_radius_and_where_filter(self, engine_parts, gen,
+                                             tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8,
+        )
+        data = gen.dataset(16)
+        eng.add_sessions(data)
+        # every stored session is within cosine 0.999 of itself
+        lims, D, I = eng.range_search(data[:4], 0.999)
+        for q in range(4):
+            assert q in I[lims[q]: lims[q + 1]].tolist()
+            assert np.all(np.diff(D[lims[q]: lims[q + 1]]) <= 1e-6)
+        # CSR against the engine's own top-k path at the same floor
+        Dk, Ik = eng.search(data[:4], k=16)
+        for q in range(4):
+            want = set(Ik[q][Dk[q] >= 0.999].tolist())
+            assert set(I[lims[q]: lims[q + 1]].tolist()) == want
+        # where= excludes the query's own row
+        # the engine stores the session part (d[0]) of (prefix, future)
+        first4 = [d[0] if isinstance(d, tuple) else d for d in data[:4]]
+        lims2, _, I2 = eng.range_search(
+            data[:4], 0.999, where=lambda s: s not in first4,
+        )
+        for q in range(4):
+            assert q not in I2[lims2[q]: lims2[q + 1]].tolist()
+
+    def test_twostage_engine_refuses(self, engine_parts, gen, tokenizer):
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8, prefilter="binary", pool=16,
+        )
+        eng.add_sessions(gen.dataset(8))
+        with pytest.raises(ValueError, match="two-stage"):
+            eng.range_search(gen.dataset(2), 0.5)
