@@ -681,9 +681,15 @@ class SessionSearchEngine:
             )
         emb = self.embed(data)
         mask = self._where_mask(where) if where is not None else None
-        return self.index.range_search(
+        t0 = time.perf_counter()
+        out = self.index.range_search(
             np.asarray(emb), radius, k0=k0, row_mask=mask
         )
+        # radius queries count in the same serving stats as search()
+        # (ADVICE r3: they were invisible in engine.stats())
+        self.timer.totals["search"] += time.perf_counter() - t0
+        self.timer.counts["search"] += 1
+        return out
 
     def _where_mask(self, where: Callable) -> np.ndarray:
         """Evaluate a session predicate into the index's row mask:

@@ -430,7 +430,13 @@ class BinaryIndex:
         :meth:`reconstruct_batch` -> :meth:`add` in ``batch``-row chunks,
         so the transposed-pack invariants (scatter-OR into zeroed bits)
         are preserved by construction. Returns the row count appended."""
-        assert isinstance(other, BinaryIndex)
+        if not isinstance(other, BinaryIndex):
+            # ValueError like the width/capacity checks below, not a bare
+            # assert stripped under python -O (ADVICE r3)
+            raise TypeError(
+                "merge_from source must be a BinaryIndex, got "
+                f"{type(other).__name__}"
+            )
         if other.n_bits != self.n_bits:
             raise ValueError(
                 f"code width mismatch: {self.n_bits} vs {other.n_bits}"

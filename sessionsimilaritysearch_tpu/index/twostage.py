@@ -271,6 +271,15 @@ class TwoStageIndex:
         shift by ``self.ntotal`` as in FAISS; ``other`` is left intact.
         Row values round-trip at ``other``'s storage precision (bf16 for
         the default store_dtype). Returns the row count appended."""
+        if not isinstance(other, (TwoStageIndex, DenseIndex)):
+            # gid-keyed sources (ShardedDenseIndex keeps STABLE global
+            # ids) would silently merge wrong rows through the positional
+            # np.arange(other.size) below — fail loudly instead
+            # (ADVICE r3)
+            raise TypeError(
+                "merge_from source must be a TwoStageIndex or DenseIndex "
+                f"(positional reconstruct ids), got {type(other).__name__}"
+            )
         if getattr(other, "dim", None) != self.dim or getattr(
             other, "metric", None
         ) != self.metric:
