@@ -303,10 +303,23 @@ def cmd_evaluate(args):
         ])
         params = enc.init(jax.random.PRNGKey(cfg.seed), sample)
         encode_fn = jax.jit(lambda g: enc.apply(params, g))
-        out = harness.evaluate_knn_recommendation(
-            cfg, tok, encode_fn, corpus_data, test_data, K=args.k,
-            batch_size=64,
-        )
+        if args.pairings:
+            # the reference's three query/db pairing matrix
+            # (test_amazon_filterd.py:189-201): a second, independently
+            # initialized encoder stands in for the subsession tower
+            # (trained pairings: examples/knn_pairings.py)
+            enc2 = _bts(cfg)
+            params2 = enc2.init(jax.random.PRNGKey(cfg.seed + 1), sample)
+            sub_fn = jax.jit(lambda g: enc2.apply(params2, g))
+            out = harness.evaluate_knn_pairings(
+                cfg, tok, sub_fn, encode_fn, corpus_data, test_data,
+                K=args.k, batch_size=64,
+            )
+        else:
+            out = harness.evaluate_knn_recommendation(
+                cfg, tok, encode_fn, corpus_data, test_data, K=args.k,
+                batch_size=64,
+            )
         print(json.dumps({"mode": "knn", **{k: round(float(v), 4)
                                             for k, v in out.items()}}))
         return
@@ -417,6 +430,12 @@ def main(argv=None):
                    help="hybrid mode: linear score fusion or "
                         "reciprocal-rank fusion (the measured-best "
                         "adversarial-regime system, docs/RESULTS.md)")
+    p.add_argument("--pairings", action="store_true",
+                   help="knn mode: evaluate the reference's three "
+                        "query/db pairings (subsession->session, "
+                        "subsession->subsession, session->session; "
+                        "test_amazon_filterd.py:189-201) instead of the "
+                        "single pairing")
     p.add_argument("--save-results", default=None, metavar="PATH",
                    help="pickle D/I + sessions for later --mode load")
     p.add_argument("--results", default=None, metavar="PATH",

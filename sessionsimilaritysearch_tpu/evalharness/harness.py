@@ -196,6 +196,61 @@ def evaluate_knn_recommendation(
     }
 
 
+def evaluate_knn_pairings(
+    cfg: Config,
+    tokenizer,
+    subsession_encode_fn: Callable,
+    session_encode_fn: Callable,
+    corpus_data: Sequence,
+    test_data: Sequence,
+    K: int = 20,
+    sample_size: int = 500,
+    batch_size: int = 256,
+) -> dict:
+    """The reference's FULL Yoochoose pairing matrix
+    (test_amazon_filterd.py:87-205): TWO encoders — subsession (prefix
+    objective) and session (whole-session objective) — embed the SAME
+    train corpus into two indexes, test prefixes embed through each
+    encoder, and kNN next-item recall@K is reported for all three
+    query/db pairings the reference logs (:189-201):
+
+    - ``subsession_session``   (Q: subsession emb, D: session corpus)
+    - ``subsession_subsession`` (Q: subsession emb, D: subsession corpus)
+    - ``session_session``      (Q: session emb, D: session corpus)
+
+    ``evaluate_knn_recommendation`` above is the single-pairing
+    (prefix-query vs one corpus) form; this is the three-way protocol
+    (VERDICT r3 task 6)."""
+    pipe_sub = EmbeddingPipeline(cfg, tokenizer, subsession_encode_fn,
+                                 batch_size)
+    pipe_ses = EmbeddingPipeline(cfg, tokenizer, session_encode_fn,
+                                 batch_size)
+    corpus_sessions = [
+        d[0] if isinstance(d, tuple) else d for d in corpus_data
+    ]
+    db_session = pipe_ses(corpus_sessions)
+    db_subsession = pipe_sub(corpus_sessions)
+    queries = [t[0] for t in test_data]
+    q_subsession = pipe_sub(queries)
+    q_session = pipe_ses(queries)
+    from sessionsimilaritysearch_tpu.evalharness.knn import (
+        knn_recommendation_recall,
+    )
+
+    out = {"K": K}
+    for name, q, db in (
+        ("subsession_session", q_subsession, db_session),
+        ("subsession_subsession", q_subsession, db_subsession),
+        ("session_session", q_session, db_session),
+    ):
+        k_search = min(sample_size, db.shape[0])
+        D, I, _, search_s = run_dense_search(db, q, k_search)
+        out[f"recall_{name}"] = knn_recommendation_recall(
+            D, I, test_data, corpus_sessions, K=K, sample_size=sample_size
+        )
+    return out
+
+
 def evaluate_sparse(
     cfg: Config,
     corpus_sessions: Sequence,

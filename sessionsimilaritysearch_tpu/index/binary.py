@@ -72,10 +72,7 @@ def _t_scatter_bits(buf: jnp.ndarray, p: jnp.ndarray, vals: jnp.ndarray):
     return buf.at[p].add(vals)
 
 
-@functools.partial(
-    jax.jit, donate_argnums=(0,), static_argnames=("block_rows",)
-)
-def _t_move_bits(
+def _t_move_bits_core(
     buf: jnp.ndarray,
     p_src: jnp.ndarray,
     j_src: jnp.ndarray,
@@ -94,7 +91,9 @@ def _t_move_bits(
     source bits, clear every destination bit and every freed-range bit
     (per-packed-row int32 masks; distinct bits make wrapping adds an OR),
     then scatter the gathered bits in. Gather happens before the clears,
-    so padded identity entries (real=False) are no-ops by construction."""
+    so padded identity entries (real=False) are no-ops by construction.
+    Pure-function core so ShardedBinaryIndex can run it per shard inside
+    shard_map; the jitted single-chip form is :func:`_t_move_bits`."""
     one = jnp.int32(1)
     bits = (buf[p_src] >> j_src[:, None]) & one  # [M, bits] {0,1}
     dst_bit = jnp.where(real, one << j_dst, 0)
@@ -113,6 +112,11 @@ def _t_move_bits(
     buf = buf & ~(clear_dst | clear_free)
     set_vals = jnp.where(real[:, None], bits << j_dst[:, None], 0)
     return buf.at[p_dst].add(set_vals)
+
+
+_t_move_bits = functools.partial(
+    jax.jit, donate_argnums=(0,), static_argnames=("block_rows",)
+)(_t_move_bits_core)
 
 
 class BinaryIndex:

@@ -315,6 +315,157 @@ def sharded_twostage_topk(
               *extra_args)
 
 
+def sharded_hamming_topk(
+    q_signs: jnp.ndarray,
+    codes: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    n_bits: int,
+    axis: str = "data",
+    shard_ids: Optional[jnp.ndarray] = None,
+    valid_per_shard: Optional[jnp.ndarray] = None,
+    selection: str = "exact",
+    recall_target: float = 0.95,
+    row_mask: Optional[jnp.ndarray] = None,
+    packed_bits: Optional[int] = None,
+    packed_block_rows: int = 2048,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hamming top-k over a row-sharded binary-code corpus.
+
+    The scale-out form of the reference's ``faiss.IndexBinaryFlat`` serve
+    path (fine_tune_ours.py:839-879): each chip ranks its own slice of the
+    codes by Hamming distance — MXU sign matmul for ``packed_bits=None``
+    (±1 bf16 rows, the 'sign' speed tier; ``selection='approx'`` swaps in
+    ``lax.approx_max_k``) or the fused unpack→MXU Pallas kernel for
+    transposed-packed storage (the 1 bit/bit capacity tier; XLA twin where
+    Mosaic is unavailable) — and the per-shard [q, k] slivers merge by
+    all-gather over ICI, exactly like :func:`sharded_topk`. The merge runs
+    on negated integer distances, so it is tie-class exact.
+
+    Args:
+      q_signs: [q, n_bits] ±1 queries, replicated (packed mode: padded to
+        the code buffer's lane width with ZERO pad columns).
+      codes: sign mode — [n, n_bits] ±1 bf16, rows sharded over ``axis``;
+        packed mode — [n/32, bits_pad] int32 transposed-packed words
+        (ops.hamming.pack_bits_t_np layout per shard), sharded over
+        ``axis``.
+      shard_ids: optional [n] int32 global ids (same sharding); defaults
+        to global slot position.
+      valid_per_shard: optional per-shard valid-slot counts.
+      row_mask: optional bool, sharded over ``axis`` — [n] slots in sign
+        mode, [n_phys_slots] in packed mode; False slots never rank.
+
+    Returns replicated (hamming distances ascending [q, k] int32, global
+    ids [q, k]); missing slots carry (INT32_MAX, -1).
+    """
+    from sessionsimilaritysearch_tpu.ops import hamming
+
+    ndev = mesh.shape[axis]
+    if packed_bits is None:
+        n = codes.shape[0]
+    else:
+        n = codes.shape[0] * 32
+    assert n % ndev == 0, f"code slots {n} not divisible by mesh axis {ndev}"
+    shard_rows = n // ndev
+    k_local = min(k, shard_rows)
+    has_mask = row_mask is not None
+    if packed_bits is not None:
+        assert shard_rows % packed_block_rows == 0, (
+            f"shard slots {shard_rows} must be whole "
+            f"{packed_block_rows}-slot pack blocks"
+        )
+        # strided-bucket fold for the per-shard kernel (same policy as
+        # sharded_twostage_topk's packed stage 1)
+        rpb = 0
+        for cand_rpb in (128, 64, 32, 16):
+            if (
+                128 * cand_rpb >= packed_block_rows
+                and shard_rows % (128 * cand_rpb) == 0
+                and shard_rows // cand_rpb >= k_local
+            ):
+                rpb = cand_rpb
+                break
+        pallas_ok = rpb > 0 and (
+            use_pallas
+            if use_pallas is not None
+            else (not interpret and jax.devices()[0].platform != "cpu")
+        )
+
+    def local_search(qs, code_local, ids_local, valid, *extra):
+        rm = extra[0] if has_mask else None
+        if packed_bits is not None:
+            if pallas_ok:
+                from sessionsimilaritysearch_tpu.ops.pallas_mips import (
+                    pallas_packed_topk,
+                )
+
+                dist, idx = pallas_packed_topk(
+                    qs, code_local, k_local, n_bits=packed_bits,
+                    block_rows=packed_block_rows, rows_per_bucket=rpb,
+                    block_q=min(256, qs.shape[0]),
+                    valid_count=valid[0], row_mask=rm,
+                    interpret=interpret,
+                )
+            else:
+                dist, idx = hamming.packed_t_topk(
+                    qs, code_local, k_local, n_bits=packed_bits,
+                    block_rows=packed_block_rows,
+                    valid_count=valid[0], row_mask=rm,
+                )
+        else:
+            dist, idx = hamming.sign_topk(
+                qs, code_local, k_local, n_bits=n_bits,
+                chunk_size=shard_rows, mode=selection,
+                recall_target=recall_target,
+                valid_count=valid[0], row_mask=rm,
+            )
+        safe = jnp.clip(idx, 0, shard_rows - 1)
+        gids = jnp.where(idx >= 0, ids_local[safe], -1)
+        # merge on NEGATED int32 distances (missing slots -> -INT32_MAX,
+        # which sorts last): integer-exact, no float tie churn
+        neg = jnp.where(
+            idx < 0, -jnp.iinfo(jnp.int32).max, -dist.astype(jnp.int32)
+        )
+        av = jax.lax.all_gather(neg, axis)
+        ai = jax.lax.all_gather(gids, axis)
+        av = jnp.moveaxis(av, 0, 1).reshape(qs.shape[0], -1)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(qs.shape[0], -1)
+        kk = min(k, av.shape[-1])
+        top_neg, top_pos = jax.lax.top_k(av, kk)
+        top_ids = jnp.take_along_axis(ai, top_pos, axis=-1)
+        if kk < k:
+            pad = ((0, 0), (0, k - kk))
+            top_neg = jnp.pad(
+                top_neg, pad, constant_values=-jnp.iinfo(jnp.int32).max
+            )
+            top_ids = jnp.pad(top_ids, pad, constant_values=-1)
+        top_dist = jnp.where(
+            top_ids < 0, jnp.iinfo(jnp.int32).max, -top_neg
+        )
+        return top_dist, top_ids
+
+    if shard_ids is None:
+        shard_ids = jnp.arange(n, dtype=jnp.int32)
+    if valid_per_shard is None:
+        valid_per_shard = jnp.full((ndev,), shard_rows, dtype=jnp.int32)
+
+    extra_args, extra_specs = [], []
+    if has_mask:
+        extra_args.append(row_mask)
+        extra_specs.append(P(axis))
+
+    fn = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
+        out_specs=(P(), P()),
+        check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+    )
+    return fn(q_signs, codes, shard_ids, valid_per_shard, *extra_args)
+
+
 def shard_corpus(corpus, mesh: Mesh, axis: str = "data"):
     """Place a [n, d] corpus row-sharded over the mesh."""
     return jax.device_put(corpus, NamedSharding(mesh, P(axis, None)))

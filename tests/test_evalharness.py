@@ -190,6 +190,43 @@ class TestKnnRecommendationMode:
         assert 0.0 <= out["recall_at_k"] <= 1.0
         assert out["qps"] > 0
 
+    def test_evaluate_knn_pairings(self, gen, tokenizer):
+        # the reference's three query/db pairing matrix
+        # (test_amazon_filterd.py:189-201; VERDICT r3 task 6)
+        cfg = tiny_test_config()
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        sample = batch_graphs([
+            sequence_to_graph(0, *gen.datum(), tokenizer, cfg.dims)
+        ])
+        fns = []
+        for seed in (0, 1):
+            enc = build_text_session_encoder(cfg)
+            params = enc.init(jax.random.PRNGKey(seed), sample)
+            fns.append(jax.jit(
+                lambda g, e=enc, p=params: e.apply(p, g)
+            ))
+        corpus_data = gen.dataset(16)
+        test_data = gen.dataset(4)
+        out = harness.evaluate_knn_pairings(
+            cfg, tokenizer, fns[0], fns[1], corpus_data, test_data, K=5,
+            sample_size=8, batch_size=8,
+        )
+        for key in ("recall_subsession_session",
+                    "recall_subsession_subsession",
+                    "recall_session_session"):
+            assert 0.0 <= out[key] <= 1.0
+        # the two towers differ, so Q:subsession vs the two corpora are
+        # genuinely different retrievals (same-corpus pairing uses the
+        # matching tower's embedding space)
+        assert out["K"] == 5
+
 
 class TestHybrid:
     def _encode_fn(self, tokenizer, data):
