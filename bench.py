@@ -157,6 +157,33 @@ def main():
         (np.sort(np.asarray(bda), 1) <= np.asarray(bd_e)[:, -1:]).mean()
     )
 
+    # --- sharded binary serving on ONE chip (index/sharded_binary.py on a
+    # 1-device mesh): the shard_map + integer-merge path of
+    # ShardedBinaryIndex, measured against the raw sign scan above so the
+    # scale-out machinery's single-chip overhead is a recorded number
+    # (VERDICT r3 task 3). Each iteration materializes its (D, I) on the
+    # host — serving-level timing, sync included.
+    from jax.sharding import Mesh
+    from sessionsimilaritysearch_tpu.index.sharded_binary import (
+        ShardedBinaryIndex,
+    )
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sb = ShardedBinaryIndex(n_bits=bits, capacity=N, mesh=mesh1,
+                            interpret=not on_tpu)
+    sb.add(c_signs)
+    qs_host = np.asarray(q_signs.astype(jnp.float32))
+    for _ in range(3):
+        sbd, _ = sb.search(qs_host, K)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sbd, _ = sb.search(qs_host, K)
+    sharded_binary_qps = Q / ((time.perf_counter() - t0) / iters)
+    sharded_binary_exact = bool(
+        (np.sort(sbd, 1) == np.sort(np.asarray(bd_e), 1)).all()
+    )
+    del sb, mesh1
+
     # --- packed capacity tier (BinaryIndex(mode='packed')): codes stored
     # transposed-packed at 1 bit/bit of HBM (32 MB here vs 500 MB for the
     # sign rows), scanned by the fused unpack->MXU Pallas kernel
@@ -278,18 +305,18 @@ def main():
     # SET containment; gated here against the device-exact top-10.
     from sessionsimilaritysearch_tpu.ops.topk import rerank_topk
 
-    pool = 128
+    def make_search_twostage(pool):
+        def search_twostage(q):
+            tq8, tqs = _quantize_rows_int8(q.astype(jnp.float32))
+            _, cand = chunked_topk(
+                tq8, c8, pool, chunk_size=chunk, mode="approx",
+                recall_target=0.95, score_dtype=jnp.bfloat16,
+                corpus_scales=c_scales, query_scales=tqs,
+            )
+            return rerank_topk(q, corpus, cand, K, score_dtype=jnp.bfloat16)
 
-    def search_twostage(q):
-        tq8, tqs = _quantize_rows_int8(q.astype(jnp.float32))
-        _, cand = chunked_topk(
-            tq8, c8, pool, chunk_size=chunk, mode="approx",
-            recall_target=0.95, score_dtype=jnp.bfloat16,
-            corpus_scales=c_scales, query_scales=tqs,
-        )
-        return rerank_topk(q, corpus, cand, K, score_dtype=jnp.bfloat16)
+        return search_twostage
 
-    ts_d, ts_i = search_twostage(queries)
     # exact reference on the ORIGINAL (unperturbed) queries, same scoring
     # contract as the timed exact path
     _, ref_full = chunked_topk(
@@ -297,11 +324,25 @@ def main():
         bucket=128, score_dtype=score_dtype,
     )
     ref_i = np.asarray(ref_full)
-    got = np.asarray(ts_i)[:, :10]
-    twostage_containment = float(
-        sum(len(set(g.tolist()) & set(r.tolist()))
-            for g, r in zip(got, ref_i)) / ref_i.size
-    )
+
+    # quality GATE (VERDICT r3 weak 7): two-stage quality is stage-1 pool
+    # recall, so the containment must clear a bar like every other tier's
+    # recall gate — auto-widen the pool until exact-top10 set containment
+    # >= 0.95 (each doubling trades QPS for pool recall; the timed row is
+    # whatever pool passed)
+    pool = 128
+    while True:
+        search_twostage = make_search_twostage(pool)
+        ts_d, ts_i = search_twostage(queries)
+        got = np.asarray(ts_i)[:, :10]
+        twostage_containment = float(
+            sum(len(set(g.tolist()) & set(r.tolist()))
+                for g, r in zip(got, ref_i)) / ref_i.size
+        )
+        if twostage_containment >= 0.95 or pool >= 1024:
+            break
+        pool *= 2
+    twostage_gate = "pass" if twostage_containment >= 0.95 else "FAIL"
     qt = queries
     for _ in range(3):
         tv, _ = search_twostage(qt)
@@ -332,6 +373,9 @@ def main():
         "int8x8_approx_value_recall10": round(int8_approx_recall10, 4),
         f"twostage_int8_pool{pool}_qps": round(twostage_qps, 1),
         "twostage_exact_top10_containment": round(twostage_containment, 4),
+        "twostage_containment_gate": twostage_gate,
+        f"sharded_binary_sign_qps_{bits}b": round(sharded_binary_qps, 1),
+        "sharded_binary_distances_exact": sharded_binary_exact,
     }
     print(json.dumps(result))
     print(
