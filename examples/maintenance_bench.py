@@ -1,0 +1,232 @@
+"""Measure the FAISS-maintenance surface at the bench shape (VERDICT r3
+task 4): the maintenance APIs landed in round 3 with correctness tests
+only — for a serving framework their latency is a headline number.
+
+At 1M x 1600 (bf16 corpus, 'cos') on one chip:
+
+1. range_search QPS across radii, from easy (one compiled depth) to
+   HOSTILE (a radius containing most of the corpus, driving the adaptive
+   depth to capacity) — reporting the top-k depths each radius compiled
+   (the O(log size) program count is the design claim, docs/PARITY.md).
+2. filtered search (row_mask) overhead vs the unmasked exact scan.
+3. bulk remove_ids wall time + search throughput immediately after — the
+   fixed-capacity zero-retrace contract says post-remove latency must
+   match pre-remove (scan cost ∝ capacity): single-chip positional
+   compaction AND the sharded stable-gid compaction (1-device mesh).
+4. merge_from wall time (shard consolidation).
+
+Run (TPU): python examples/maintenance_bench.py
+Smoke:     python examples/maintenance_bench.py --platform cpu --tiny
+
+Reference anchors: faiss.Index.range_search / remove_ids / merge_from and
+IDSelector filtering; the reference itself only ever timed
+index.search (fine_tune_ours.py:875-879).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default="docs/maintenance_bench_r4.json")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from sessionsimilaritysearch_tpu.index.dense import DenseIndex
+    from sessionsimilaritysearch_tpu.ops.topk import l2_normalize
+
+    if args.tiny:
+        N, D, K, Q = 1 << 14, 128, 100, 256
+        RQ = 16  # range-search query batch
+        merge_n = 1 << 12
+        remove_n = 1 << 12
+    else:
+        N, D, K, Q = 1 << 20, 1600, 100, 1024
+        RQ = 64
+        merge_n = 1 << 18
+        remove_n = 100_000
+
+    rec = {"N": N, "D": D, "K": K, "query_batch": Q}
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    corpus = np.asarray(
+        l2_normalize(jax.random.normal(k1, (N, D), jnp.float32))
+    )
+    queries = np.asarray(
+        l2_normalize(jax.random.normal(k2, (Q, D), jnp.float32))
+    )
+
+    # capacity leaves room for the merge source (the streaming contract
+    # scans capacity, so this is the honest serving configuration)
+    idx = DenseIndex(dim=D, capacity=N + merge_n, metric="cos",
+                     dtype=jnp.bfloat16, chunk_size=N + merge_n,
+                     score_dtype=jnp.bfloat16)
+    idx.add(corpus)
+
+    def timed_search(label, n_iter=None, row_mask=None):
+        n_iter = n_iter or args.iters
+        for _ in range(2):
+            idx.search(queries, K, row_mask=row_mask)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            D_, I_ = idx.search(queries, K, row_mask=row_mask)
+        dt = (time.perf_counter() - t0) / n_iter
+        rec[label] = {"ms_per_batch": round(dt * 1e3, 1),
+                      "qps": round(Q / dt, 1)}
+        print(f"{label:>28}: {dt*1e3:8.1f} ms  {Q/dt:10,.1f} qps",
+              flush=True)
+        return D_, I_
+
+    # --- baseline: the unmasked exact scan (the bench.py headline path)
+    timed_search("search_unmasked")
+
+    # --- 2. filtered search: 50% random gid mask (IDSelector counterpart)
+    mask = np.random.default_rng(0).random(N) < 0.5
+    timed_search("search_row_mask_50pct", row_mask=mask)
+
+    # --- 1. range_search across radii. On unit-norm iid Gaussian rows at
+    # this dimension, cosines concentrate near 0 with sd ~ 1/sqrt(D), so
+    # the radii sweep hit-set sizes from ~0 to ~half the corpus (hostile).
+    sd = 1.0 / np.sqrt(D)
+    radii = [
+        ("easy", 5.0 * sd),      # ~0 hits: one compiled depth
+        ("moderate", 3.0 * sd),  # ~0.1% of the corpus per query
+        ("hostile", 0.0),        # ~50% of the corpus: depth -> capacity
+    ]
+    rq = queries[:RQ]
+    for name, radius in radii:
+        depths = []
+        orig_search = idx.search
+
+        def counting_search(q, k, _o=orig_search, _d=depths, **kw):
+            _d.append(k)
+            return _o(q, k, **kw)
+
+        idx.search = counting_search
+        try:
+            t0 = time.perf_counter()
+            lims, Dr, Ir = idx.range_search(rq, radius)
+            dt = time.perf_counter() - t0
+            # second call: every depth program is now cached — the
+            # steady-state serving number
+            depths2 = []
+            depths.clear()
+            t0 = time.perf_counter()
+            lims, Dr, Ir = idx.range_search(rq, radius)
+            dt_warm = time.perf_counter() - t0
+            depths2 = list(depths)
+        finally:
+            idx.search = orig_search
+        hits = float(np.diff(lims).mean())
+        rec[f"range_{name}"] = {
+            "radius": round(float(radius), 5),
+            "mean_hits_per_query": round(hits, 1),
+            "depths": depths2,
+            "cold_s": round(dt, 2),
+            "warm_s": round(dt_warm, 2),
+            "warm_qps": round(RQ / dt_warm, 1),
+        }
+        print(f"{'range_' + name:>28}: radius={radius:.4f} "
+              f"hits/q={hits:10,.1f} depths={depths2} "
+              f"cold={dt:.2f}s warm={dt_warm:.2f}s "
+              f"({RQ / dt_warm:,.1f} qps)", flush=True)
+
+    # --- 4. merge_from: consolidate a merge_n-row index into this one
+    src = DenseIndex(dim=D, capacity=merge_n, metric="cos",
+                     dtype=jnp.bfloat16, chunk_size=merge_n)
+    k3 = jax.random.PRNGKey(7)
+    src.add(np.asarray(l2_normalize(jax.random.normal(k3, (merge_n, D),
+                                                      jnp.float32))))
+    t0 = time.perf_counter()
+    added = idx.merge_from(src)
+    # merge streams reconstruct->add; force completion with a search
+    idx.search(queries[:8], 10)
+    merge_s = time.perf_counter() - t0
+    rec["merge_from"] = {"rows": added, "wall_s": round(merge_s, 2),
+                         "rows_per_s": round(added / merge_s, 1)}
+    print(f"{'merge_from':>28}: {added} rows in {merge_s:.2f}s "
+          f"({added/merge_s:,.0f} rows/s)", flush=True)
+    timed_search("search_after_merge")
+
+    # --- 3. bulk remove_ids + post-remove throughput (single-chip
+    # positional compaction)
+    rng = np.random.default_rng(1)
+    # draw from the ORIGINAL N rows so the same victim set is valid for
+    # the sharded index below (which never saw the merge)
+    victims = rng.choice(N, size=remove_n, replace=False)
+    t0 = time.perf_counter()
+    removed = idx.remove_ids(victims)
+    idx.search(queries[:8], 10)
+    remove_s = time.perf_counter() - t0
+    rec["remove_ids"] = {
+        "rows": removed, "wall_s": round(remove_s, 2),
+        "rows_per_s": round(removed / remove_s, 1),
+    }
+    print(f"{'remove_ids':>28}: {removed} rows in {remove_s:.2f}s "
+          f"({removed/remove_s:,.0f} rows/s)", flush=True)
+    timed_search("search_after_remove")
+    del idx, src
+
+    # --- sharded stable-gid compaction on a 1-device mesh (the engine's
+    # scale-out id semantics: gids never renumber)
+    from jax.sharding import Mesh
+
+    from sessionsimilaritysearch_tpu.index.sharded import ShardedDenseIndex
+
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sidx = ShardedDenseIndex(dim=D, capacity=N, mesh=mesh1,
+                             dtype=jnp.bfloat16, chunk_size=N,
+                             score_dtype=jnp.bfloat16)
+    sidx.add(corpus)
+
+    def timed_sharded(label):
+        for _ in range(2):
+            sidx.search(queries, K)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            sidx.search(queries, K)
+        dt = (time.perf_counter() - t0) / args.iters
+        rec[label] = {"ms_per_batch": round(dt * 1e3, 1),
+                      "qps": round(Q / dt, 1)}
+        print(f"{label:>28}: {dt*1e3:8.1f} ms  {Q/dt:10,.1f} qps",
+              flush=True)
+
+    timed_sharded("sharded_search_before_remove")
+    t0 = time.perf_counter()
+    removed = sidx.remove_ids(victims)
+    sidx.search(queries[:8], 10)
+    s_remove_s = time.perf_counter() - t0
+    rec["sharded_remove_ids"] = {
+        "rows": removed, "wall_s": round(s_remove_s, 2),
+        "rows_per_s": round(removed / s_remove_s, 1),
+    }
+    print(f"{'sharded_remove_ids':>28}: {removed} rows in "
+          f"{s_remove_s:.2f}s ({removed/s_remove_s:,.0f} rows/s)",
+          flush=True)
+    timed_sharded("sharded_search_after_remove")
+
+    rec["platform"] = jax.devices()[0].platform
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: v for k, v in rec.items()
+                      if not isinstance(v, dict)}))
+
+
+if __name__ == "__main__":
+    main()
