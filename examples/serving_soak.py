@@ -1,0 +1,303 @@
+"""Mixed-workload serving soak (VERDICT r3 item 5).
+
+One sustained SessionSearchEngine run at >=1M rows that interleaves every
+maintenance verb the serving layer exposes — ingest / search /
+remove_sessions / expire / snapshot+restore — and reports what a production
+operator actually watches: sustained mixed-workload QPS, per-batch search
+latency p50/p99, ingest throughput, maintenance-op cost, **jit-cache size
+pinned flat** (the zero-retrace claim under realistic interleaving, not a
+synthetic unit test), and HBM stability.
+
+The reference has no serving loop at all — its indexes are built once and
+queried once (test_amazon_filterd.py:207-223); this artifact is the
+evidence that the engine's streaming redesign holds up under a sustained
+realistic mix, not just under per-verb unit tests.
+
+The encoder is the flagship two-pool model at init (serving_params bf16,
+title+keyword cached forward) — the soak measures serving-path stability
+and cost, not retrieval quality, so training is skipped; quality evidence
+lives in examples/flagship_serving.py and the quality protocol.
+
+Run (TPU):  python examples/serving_soak.py --out docs/serving_soak_r4.json
+Smoke:      python examples/serving_soak.py --platform cpu --tiny
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from sessionsimilaritysearch_tpu.config import Config, tiny_test_config
+from sessionsimilaritysearch_tpu.data import AdversarialSessionGenerator
+from sessionsimilaritysearch_tpu.engine import SessionSearchEngine
+from sessionsimilaritysearch_tpu.evalharness.harness import (
+    build_keyword_table,
+    build_title_table,
+    make_cached_encode_fn,
+)
+from sessionsimilaritysearch_tpu.models.encoder import build_graph_encoder
+from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+from sessionsimilaritysearch_tpu.training.loop import to_device
+from sessionsimilaritysearch_tpu.training.session_trainers import (
+    create_session_state,
+)
+from sessionsimilaritysearch_tpu.utils.precision import serving_params
+
+
+def _jit_cache_sizes() -> dict:
+    """Cache sizes of every jitted entry point the exact serving path can
+    touch. A flat total across the soak IS the zero-retrace contract."""
+    from sessionsimilaritysearch_tpu.ops import topk
+
+    out = {}
+    for name in ("chunked_topk", "rerank_topk"):
+        fn = getattr(topk, name, None)
+        size = getattr(fn, "_cache_size", None)
+        if size is not None:
+            out[name] = size()
+    return out
+
+
+def _pct(lat_s, q):
+    a = np.asarray(lat_s, dtype=np.float64) * 1e3
+    return {
+        "p50_ms": round(float(np.percentile(a, 50)), 3),
+        "p99_ms": round(float(np.percentile(a, 99)), 3),
+        "mean_ms": round(float(a.mean()), 3),
+        "batches": len(a),
+        "qps": round(q * len(a) / float(np.sum(a) / 1e3), 1),
+    }
+
+
+def run_soak(args) -> dict:
+    if args.tiny:
+        cfg = tiny_test_config()
+        args.rows = min(args.rows, 1024)
+        args.fill_chunk, args.batches = 256, 8
+        args.qbatch = args.ibatch = 64
+        args.remove_every, args.expire_every = 3, 4
+        args.embed_batch = 64
+    else:
+        cfg = Config().replace(asin_num=args.asin_num, batch_size=256)
+    gen = AdversarialSessionGenerator(asin_num=cfg.asin_num, seed=7)
+    tok = get_tokenizer(cfg.vocab_size)
+
+    # --- encoder at init, bf16 serving params, cached tables (the
+    # flagship_serving.py recipe minus training)
+    t0 = time.perf_counter()
+    warm = gen.dataset(args.embed_batch)
+    from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
+
+    loader = SessionGraphLoader(
+        warm, tok, cfg.dims, min(cfg.batch_size, len(warm)), seed=0)
+    sample = to_device(next(iter(loader)))
+    rng = jax.random.PRNGKey(0)
+    _, state = create_session_state(
+        cfg, rng, sample, mode="subsession", encoder_kind="flagship")
+    params = serving_params(state.params)
+    enc_mod = build_graph_encoder(cfg)
+    enc_vars = {"params": params["encoder"]}
+    table = build_title_table(cfg, tok, gen.titles, enc_mod, enc_vars,
+                              batch_size=args.embed_batch)
+    kws = sorted({a[2] or "" for d in warm for a in d[0] if a[1] == "s"})
+    qtable, kw_lookup = build_keyword_table(
+        cfg, tok, kws, enc_mod, enc_vars, batch_size=args.embed_batch)
+    encode = make_cached_encode_fn(enc_mod, enc_vars, table,
+                                   query_table=qtable, kw_lookup=kw_lookup)
+    t_setup = time.perf_counter() - t0
+    dim = cfg.session_emb_dim
+    print(f"setup (init encoder + tables, dim={dim}): {t_setup:.1f}s",
+          flush=True)
+
+    # stream headroom: the mixed phase net-adds ibatch rows per iteration
+    capacity = args.rows + args.batches * args.ibatch + 4 * args.ibatch
+    eng = SessionSearchEngine(
+        cfg, tok, encode, dim=dim, capacity=capacity,
+        batch_size=args.embed_batch,
+    )
+
+    # --- phase FILL: bulk ingest to args.rows (unstamped -> never expires;
+    # the expire verb acts on the streamed tail, remove_sessions exercises
+    # compaction over the whole id space)
+    t0 = time.perf_counter()
+    n_fill = 0
+    gen_s = 0.0
+    while n_fill < args.rows:
+        m = min(args.fill_chunk, args.rows - n_fill)
+        tg = time.perf_counter()
+        chunk = gen.dataset(m)
+        gen_s += time.perf_counter() - tg
+        eng.add_sessions([d[0] for d in chunk])
+        n_fill += m
+        if n_fill % (args.fill_chunk * 16) == 0:
+            print(f"  fill {n_fill}/{args.rows}", flush=True)
+    fill_s = time.perf_counter() - t0
+    ingest_rate = args.rows / max(fill_s - gen_s, 1e-9)
+    print(f"fill {args.rows} rows: {fill_s:.1f}s "
+          f"({ingest_rate:.0f} sessions/s ingest, {gen_s:.1f}s generate)",
+          flush=True)
+
+    # --- query pool + streamed-session pool for the mixed phase
+    qpool = gen.dataset(max(4 * args.qbatch, 512))
+    stream = gen.dataset(args.batches * args.ibatch)
+    # parity-check batch matches the serving (shape, k) exactly, so the
+    # snapshot check reuses the warm search program
+    fixed_q = [d for d in qpool[: args.qbatch]]
+
+    dev = jax.local_devices()[0]
+
+    def hbm():
+        try:
+            return int(dev.memory_stats()["bytes_in_use"])
+        except Exception:
+            return None
+
+    # --- warmup: touch every verb once so all jit caches are populated
+    # BEFORE the flat-cache window opens
+    eng.search(qpool[: args.qbatch], k=args.k)
+    victims = [stream[i][0] for i in range(min(8, len(stream)))]
+    eng.add_sessions(victims, stamp=-1.0)
+    eng.remove_sessions(data=victims)
+    eng.expire(before=-0.5)
+    cache0 = _jit_cache_sizes()
+    hbm0 = hbm()
+    print(f"warmup done; jit caches {cache0}, hbm={hbm0}", flush=True)
+
+    # --- phase MIXED: sustained interleaving
+    lat, events = [], []
+    removed_total = expired_total = 0
+    snap = None
+    t_mix = time.perf_counter()
+    for i in range(args.batches):
+        q0 = (i * args.qbatch) % (len(qpool) - args.qbatch + 1)
+        t0 = time.perf_counter()
+        D, I = eng.search(qpool[q0: q0 + args.qbatch], k=args.k)
+        # chain a data dependency: materialize scores on host (tunnel-safe
+        # timing per CLAUDE.md)
+        float(np.asarray(D)[:, 0].sum())
+        lat.append(time.perf_counter() - t0)
+
+        batch = [d[0] for d in stream[i * args.ibatch:(i + 1) * args.ibatch]]
+        t0 = time.perf_counter()
+        eng.add_sessions(batch, stamp=float(i))
+        events.append(("ingest", time.perf_counter() - t0))
+
+        if args.remove_every and (i + 1) % args.remove_every == 0:
+            # content-keyed removal of a random slice of the bulk corpus
+            rs = np.random.default_rng(i)
+            idx = rs.choice(len(eng.sessions), size=args.ibatch,
+                            replace=False)
+            vict = [eng.sessions[j] for j in idx]
+            t0 = time.perf_counter()
+            removed_total += eng.remove_sessions(data=vict)
+            events.append(("remove", time.perf_counter() - t0))
+        if args.expire_every and (i + 1) % args.expire_every == 0:
+            # TTL: drop streamed rows older than a sliding window
+            t0 = time.perf_counter()
+            expired_total += eng.expire(before=float(i - args.expire_every))
+            events.append(("expire", time.perf_counter() - t0))
+        if i == args.batches // 2:
+            # snapshot + restore mid-run, then keep serving
+            prefix = os.path.join(args.workdir, "soak_snap")
+            # same (shape, k) as the serving searches: the parity check
+            # must not itself be a new jit program
+            Db, Ib = eng.search(fixed_q, k=args.k)
+            t0 = time.perf_counter()
+            eng.save(prefix)
+            t_save = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            eng.restore(prefix)
+            t_restore = time.perf_counter() - t0
+            Da, Ia = eng.search(fixed_q, k=args.k)
+            same = bool(np.array_equal(np.asarray(Ib), np.asarray(Ia)))
+            snap = {"save_s": round(t_save, 2),
+                    "restore_s": round(t_restore, 2),
+                    "search_identical_after_restore": same,
+                    "ntotal": eng.index.ntotal}
+            events.append(("snapshot", t_save + t_restore))
+            print(f"  snapshot@{i}: save {t_save:.1f}s restore "
+                  f"{t_restore:.1f}s identical={same}", flush=True)
+    mix_s = time.perf_counter() - t_mix
+    cache1 = _jit_cache_sizes()
+    hbm1 = hbm()
+
+    ev = {}
+    for kind, dt in events:
+        ev.setdefault(kind, []).append(dt * 1e3)
+    search = _pct(lat, args.qbatch)
+    report = {
+        "rows": args.rows,
+        "dim": dim,
+        "capacity": capacity,
+        "ntotal_end": eng.index.ntotal,
+        "platform": jax.default_backend(),
+        "setup_s": round(t_setup, 1),
+        "fill_s": round(fill_s, 1),
+        "ingest_sessions_per_s": round(ingest_rate, 0),
+        "mixed_batches": args.batches,
+        "mixed_wall_s": round(mix_s, 1),
+        "sustained_mixed_qps": round(args.batches * args.qbatch / mix_s, 1),
+        "search": search,
+        "ops_ms": {
+            k: {"mean": round(float(np.mean(v)), 1),
+                "max": round(float(np.max(v)), 1), "n": len(v)}
+            for k, v in sorted(ev.items())
+        },
+        "removed_rows": removed_total,
+        "expired_rows": expired_total,
+        "snapshot": snap,
+        "jit_cache_after_warmup": cache0,
+        "jit_cache_end": cache1,
+        "jit_cache_flat": cache0 == cache1,
+        "hbm_bytes_after_warmup": hbm0,
+        "hbm_bytes_end": hbm1,
+        "engine_stats": {k: v for k, v in eng.stats().items()
+                         if k in ("ntotal", "pending")},
+    }
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 20)
+    ap.add_argument("--asin-num", type=int, default=50_000)
+    ap.add_argument("--fill-chunk", type=int, default=8192)
+    ap.add_argument("--batches", type=int, default=80,
+                    help="mixed-phase iterations")
+    ap.add_argument("--qbatch", type=int, default=256)
+    ap.add_argument("--ibatch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--embed-batch", type=int, default=1024)
+    ap.add_argument("--remove-every", type=int, default=10)
+    ap.add_argument("--expire-every", type=int, default=20)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.workdir is None:
+        args.workdir = tempfile.mkdtemp(prefix="soak_")
+    report = run_soak(args)
+    print(json.dumps(report, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.out}")
+    if not report["jit_cache_flat"]:
+        print("WARNING: jit cache grew during the mixed phase "
+              f"({report['jit_cache_after_warmup']} -> "
+              f"{report['jit_cache_end']})", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

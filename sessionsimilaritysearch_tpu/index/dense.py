@@ -183,7 +183,11 @@ class DenseIndex:
         self.dtype = jnp.dtype(jnp.int8 if quantize else dtype)
         self.chunk_size = chunk_size
         self.mode = mode
-        self.score_dtype = score_dtype
+        # canonicalize: jnp.float32 (the class) and np.dtype('float32') hash
+        # DIFFERENTLY as jit static args, so a loaded index would otherwise
+        # recompile every search program a fresh index already owns
+        # (serving_soak caught this after snapshot-restore)
+        self.score_dtype = jnp.dtype(score_dtype)
         self._buf = jnp.zeros((capacity, dim), dtype=self.dtype)
         # per-row dequantization scales (int8 mode): true_row ~= code * scale.
         # Quarters the corpus HBM vs f32 (halves vs bf16) for single-chip

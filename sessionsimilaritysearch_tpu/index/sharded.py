@@ -125,7 +125,10 @@ class ShardedDenseIndex:
         self.metric = metric
         self.quantize = quantize
         self.dtype = jnp.dtype(jnp.int8 if quantize else dtype)
-        self.score_dtype = score_dtype
+        # canonical np.dtype: the class jnp.float32 and np.dtype('float32')
+        # hash differently as jit static args (a loaded index would
+        # recompile every program a fresh one owns; index/dense.py same fix)
+        self.score_dtype = jnp.dtype(score_dtype)
         self.chunk_size = chunk_size
         self.mode = mode
         sh = NamedSharding(mesh, P(axis, None))

@@ -583,7 +583,10 @@ class ShardedTwoStageIndex:
         self.pool = pool
         self.store_dtype = jnp.dtype(store_dtype)
         self.recall_target = recall_target
-        self.score_dtype = score_dtype
+        # canonical np.dtype: the class jnp.float32 and np.dtype('float32')
+        # hash differently as jit static args (a loaded index would
+        # recompile every program a fresh one owns; index/dense.py same fix)
+        self.score_dtype = jnp.dtype(score_dtype)
         self.seed = seed
         self.stage1 = stage1
         self.use_pallas = use_pallas
