@@ -20,6 +20,7 @@ import time
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sessionsimilaritysearch_tpu.config import Config
@@ -58,12 +59,22 @@ class EmbeddingPipeline:
         self.workers = workers
         self.prefetch = prefetch
 
-    def __call__(self, data: Sequence) -> np.ndarray:
-        """``data``: list of (prefix, future) pairs or bare sessions."""
+    def __call__(self, data: Sequence, out: str = "np"):
+        """``data``: list of (prefix, future) pairs or bare sessions.
+
+        ``out``: 'np' returns a host array (one blocking device->host
+        transfer per batch — on a tunneled chip that transfer serializes
+        with compute and can halve throughput); 'device' keeps every batch
+        on-device and concatenates there, so an index build consumes the
+        embeddings with ZERO host round-trips of the corpus (the batches
+        queue behind each other via async dispatch and the host only
+        blocks once, at the concatenate)."""
         from sessionsimilaritysearch_tpu.data.loader import SessionGraphLoader
 
+        assert out in ("np", "device")
         if len(data) == 0:
-            return np.zeros((0, 0), dtype=np.float32)
+            z = np.zeros((0, 0), dtype=np.float32)
+            return jnp.asarray(z) if out == "device" else z
         norm = [
             d if isinstance(d, tuple) and len(d) == 2 else (d, [])
             for d in data
@@ -74,11 +85,14 @@ class EmbeddingPipeline:
             prefetch=self.prefetch, workers=self.workers,
         )
         try:
-            out = [np.asarray(self.encode_fn(b)) for b in loader]
+            if out == "device":
+                parts = [self.encode_fn(b) for b in loader]
+                return jnp.concatenate(parts, axis=0)[: len(norm)]
+            res = [np.asarray(self.encode_fn(b)) for b in loader]
         finally:
             loader.close()
         # the loader wrap-pads the final batch; rows stay in input order
-        return np.concatenate(out, axis=0)[: len(norm)]
+        return np.concatenate(res, axis=0)[: len(norm)]
 
 
 def run_dense_search(

@@ -150,6 +150,36 @@ class TestHarness:
         assert res.qps > 0
         assert "ave_all_jaccard" in res.report
 
+    def test_pipeline_device_out_parity(self, gen, tokenizer):
+        # out='device' keeps the corpus on-device (zero host round-trips
+        # for index builds); rows must be bit-identical to the 'np' path
+        cfg = tiny_test_config()
+        import jax
+
+        from sessionsimilaritysearch_tpu.models import (
+            build_text_session_encoder,
+        )
+
+        enc = build_text_session_encoder(cfg)
+        data = gen.dataset(13)  # non-multiple of batch: exercises the slice
+        from sessionsimilaritysearch_tpu.data.graph import (
+            batch_graphs,
+            sequence_to_graph,
+        )
+
+        sample = batch_graphs([
+            sequence_to_graph(0, data[0][0], data[0][1], tokenizer, cfg.dims)
+        ])
+        params = enc.init(jax.random.PRNGKey(0), sample)
+        encode_fn = jax.jit(lambda g: enc.apply(params, g))
+        pipe = harness.EmbeddingPipeline(cfg, tokenizer, encode_fn,
+                                         batch_size=4)
+        a = pipe(data)
+        b = pipe(data, out="device")
+        assert a.shape == b.shape and a.shape[0] == 13
+        assert not isinstance(b, np.ndarray)  # stayed on device
+        np.testing.assert_array_equal(a, np.asarray(b))
+
     def test_evaluate_sparse(self, gen):
         cfg = tiny_test_config()
         corpus_sessions = [gen.session() for _ in range(10)]
