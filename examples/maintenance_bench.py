@@ -65,10 +65,14 @@ def main():
     rec = {"N": N, "D": D, "K": K, "query_batch": Q}
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    corpus = np.asarray(
-        l2_normalize(jax.random.normal(k1, (N, D), jnp.float32))
-    )
-    queries = np.asarray(
+    # corpus stays ON DEVICE end-to-end: generate -> normalize -> add with
+    # zero host crossings. The first version of this bench round-tripped
+    # the 6.4 GB corpus through np.asarray THREE times (idx.add, merge
+    # source, sharded add) — ~20 GB over the tunneled link, which starved
+    # the whole run before its first phase printed.
+    corpus = l2_normalize(jax.random.normal(k1, (N, D), jnp.float32))
+    corpus.block_until_ready()
+    queries = np.asarray(  # 1024 x D: a few MB, host is fine
         l2_normalize(jax.random.normal(k2, (Q, D), jnp.float32))
     )
 
@@ -151,8 +155,7 @@ def main():
     src = DenseIndex(dim=D, capacity=merge_n, metric="cos",
                      dtype=jnp.bfloat16, chunk_size=merge_n)
     k3 = jax.random.PRNGKey(7)
-    src.add(np.asarray(l2_normalize(jax.random.normal(k3, (merge_n, D),
-                                                      jnp.float32))))
+    src.add(l2_normalize(jax.random.normal(k3, (merge_n, D), jnp.float32)))
     t0 = time.perf_counter()
     added = idx.merge_from(src)
     # merge streams reconstruct->add; force completion with a search
