@@ -223,13 +223,18 @@ class SessionSearchEngine:
             self._pad_to = 1
 
     # ------------------------------------------------------------------
-    def embed(self, data: Sequence) -> np.ndarray:
-        """Embed raw sessions / (prefix, future) pairs."""
+    def embed(self, data: Sequence, out: str = "np"):
+        """Embed raw sessions / (prefix, future) pairs.
+
+        ``out='device'`` skips the per-batch device->host transfer — the
+        ingest path uses it so corpus embeddings go encoder -> index with
+        zero host crossings (on a tunneled chip the per-batch round trip
+        serializes with compute)."""
         t0 = time.perf_counter()
-        out = self._pipe(data)
+        res = self._pipe(data, out=out)
         self.timer.totals["encode"] += time.perf_counter() - t0
         self.timer.counts["encode"] += 1
-        return out
+        return res
 
     def add_sessions(self, data: Sequence,
                      stamp: Optional[float] = None) -> None:
@@ -256,7 +261,7 @@ class SessionSearchEngine:
             return
         pairs, self._pending = self._pending[:m], self._pending[m:]
         batch = [d for d, _ in pairs]
-        emb = self.embed(batch)
+        emb = self.embed(batch, out="device")
         with self.timer("insert"):
             self.index.add(emb)
             jax.block_until_ready(self.index._buf)  # time the device work
