@@ -65,12 +65,19 @@ def main():
     rec = {"N": N, "D": D, "K": K, "query_batch": Q}
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
-    # corpus stays ON DEVICE end-to-end: generate -> normalize -> add with
-    # zero host crossings. The first version of this bench round-tripped
-    # the 6.4 GB corpus through np.asarray THREE times (idx.add, merge
-    # source, sharded add) — ~20 GB over the tunneled link, which starved
-    # the whole run before its first phase printed.
-    corpus = l2_normalize(jax.random.normal(k1, (N, D), jnp.float32))
+    # corpus stays ON DEVICE end-to-end (zero host crossings: the first
+    # version round-tripped 6.4 GB through np.asarray three times and
+    # starved on the tunnel) AND in bf16 with chunk-wise f32 normalize
+    # (the second version held an f32 corpus plus whole-corpus normalize
+    # temps plus the index buffer — ~21 GB transient — and OOM'd HBM;
+    # bench.py's bf16 recipe is the proven budget at this shape).
+    CH = min(N, 1 << 17)
+    corpus = jax.random.normal(k1, (N, D), jnp.bfloat16)
+    corpus = jnp.concatenate([
+        l2_normalize(corpus[i: i + CH].astype(jnp.float32)).astype(
+            jnp.bfloat16)
+        for i in range(0, N, CH)
+    ])
     corpus.block_until_ready()
     queries = np.asarray(  # 1024 x D: a few MB, host is fine
         l2_normalize(jax.random.normal(k2, (Q, D), jnp.float32))
@@ -81,7 +88,8 @@ def main():
     idx = DenseIndex(dim=D, capacity=N + merge_n, metric="cos",
                      dtype=jnp.bfloat16, chunk_size=N + merge_n,
                      score_dtype=jnp.bfloat16)
-    idx.add(corpus)
+    for i in range(0, N, CH):  # chunked adds bound the normalize temps
+        idx.add(corpus[i: i + CH])
 
     def timed_search(label, n_iter=None, row_mask=None):
         n_iter = n_iter or args.iters
@@ -155,7 +163,9 @@ def main():
     src = DenseIndex(dim=D, capacity=merge_n, metric="cos",
                      dtype=jnp.bfloat16, chunk_size=merge_n)
     k3 = jax.random.PRNGKey(7)
-    src.add(l2_normalize(jax.random.normal(k3, (merge_n, D), jnp.float32)))
+    src.add(l2_normalize(
+        jax.random.normal(k3, (merge_n, D), jnp.float32)
+    ).astype(jnp.bfloat16))
     t0 = time.perf_counter()
     added = idx.merge_from(src)
     # merge streams reconstruct->add; force completion with a search
@@ -196,7 +206,8 @@ def main():
     sidx = ShardedDenseIndex(dim=D, capacity=N, mesh=mesh1,
                              dtype=jnp.bfloat16, chunk_size=N,
                              score_dtype=jnp.bfloat16)
-    sidx.add(corpus)
+    for i in range(0, N, CH):  # chunked adds bound the normalize temps
+        sidx.add(corpus[i: i + CH])
 
     def timed_sharded(label):
         for _ in range(2):

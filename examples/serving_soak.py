@@ -32,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sessionsimilaritysearch_tpu.config import Config, tiny_test_config
@@ -118,9 +119,12 @@ def run_soak(args) -> dict:
 
     # stream headroom: the mixed phase net-adds ibatch rows per iteration
     capacity = args.rows + args.batches * args.ibatch + 4 * args.ibatch
+    # bf16 corpus storage: the benched production dtype (value-recall
+    # gated at 2 ulps) — at 1M x 1600 the f32 default costs 6.8 GB/buffer
+    # and leaves no headroom for snapshot-restore on a 16 GB chip
     eng = SessionSearchEngine(
         cfg, tok, encode, dim=dim, capacity=capacity,
-        batch_size=args.embed_batch,
+        batch_size=args.embed_batch, dtype=jnp.bfloat16,
     )
 
     # --- phase FILL: bulk ingest to args.rows (unstamped -> never expires;

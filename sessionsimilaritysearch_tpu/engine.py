@@ -104,6 +104,11 @@ class SessionSearchEngine:
         'packed' (fused Pallas unpack->MXU scan over int32-packed codes,
         16x smaller stage-1 buffers, per chip in sharded mode;
         index.twostage.TwoStageIndex docs).
+      dtype: corpus storage dtype for the dense (non-quantized) paths;
+        None keeps each index class's default (f32 dense; bf16 two-stage
+        store). Production serving at 1M x 1600 should pass
+        ``jnp.bfloat16``: halves corpus HBM and is the benched default,
+        value-recall gated at 2 bf16 ulps (bench.py, docs/RESULTS.md).
     """
 
     def __init__(
@@ -123,6 +128,7 @@ class SessionSearchEngine:
         projector=None,
         center=None,
         stage1: str = "matmul",
+        dtype=None,
     ):
         from sessionsimilaritysearch_tpu.evalharness.harness import (
             EmbeddingPipeline,
@@ -194,11 +200,13 @@ class SessionSearchEngine:
                     dim=dim, capacity=capacity, mesh=mesh, metric=metric,
                     prefilter=prefilter, pool=pool, projector=projector,
                     stage1=stage1,
+                    **({} if dtype is None else {"store_dtype": dtype}),
                 )
             else:
                 self.index = ShardedDenseIndex(
                     dim=dim, capacity=capacity, mesh=mesh, metric=metric,
                     mode=mode, quantize=quantize,
+                    **({} if dtype is None else {"dtype": dtype}),
                 )
             self._pad_to = ndev
         elif prefilter is not None:
@@ -213,12 +221,14 @@ class SessionSearchEngine:
                 dim=dim, capacity=capacity, metric=metric,
                 prefilter=prefilter, pool=pool, projector=projector,
                 stage1=stage1,
+                **({} if dtype is None else {"store_dtype": dtype}),
             )
             self._pad_to = 1
         else:
             self.index = DenseIndex(
                 dim=dim, capacity=capacity, metric=metric,
                 quantize=quantize, center=center,
+                **({} if dtype is None else {"dtype": dtype}),
             )
             self._pad_to = 1
 
@@ -809,21 +819,35 @@ class SessionSearchEngine:
                 TwoStageIndex,
             )
 
-            if isinstance(self.index, ShardedTwoStageIndex):
+            # Free the CURRENT index's device buffers BEFORE the snapshot
+            # uploads: load() materializes a full capacity-sized corpus,
+            # and holding both would need 2x the corpus HBM — a 1M x 1600
+            # f32 engine (6.8 GB/buffer) OOMs a 16 GB chip mid-restore
+            # exactly when restore is most needed. On load failure the
+            # engine is left index-less (unusable) rather than silently
+            # serving the pre-restore corpus.
+            old = self.index
+            kind = type(old)
+            mesh = getattr(old, "mesh", None)
+            cap = old.capacity
+            self.index = None
+            del old
+
+            if issubclass(kind, ShardedTwoStageIndex):
                 self.index = ShardedTwoStageIndex.load(
-                    prefix + ".index", mesh=self.index.mesh
+                    prefix + ".index", mesh=mesh
                 )
-            elif isinstance(self.index, ShardedDenseIndex):
+            elif issubclass(kind, ShardedDenseIndex):
                 self.index = ShardedDenseIndex.load(
-                    prefix + ".index", mesh=self.index.mesh
+                    prefix + ".index", mesh=mesh
                 )
-            elif isinstance(self.index, TwoStageIndex):
+            elif issubclass(kind, TwoStageIndex):
                 self.index = TwoStageIndex.load(
-                    prefix + ".index", capacity=self.index.capacity
+                    prefix + ".index", capacity=cap
                 )
             else:
                 self.index = DenseIndex.load(
-                    prefix + ".index", capacity=self.index.capacity
+                    prefix + ".index", capacity=cap
                 )
             with open(prefix + ".sessions.pkl", "rb") as f:
                 blob = pickle.load(f)

@@ -145,6 +145,65 @@ class TestEngine:
         rep = fresh.report(data[:4], I2)
         assert "ave_all_jaccard" in rep
 
+    def test_restore_frees_old_buffers_first(self, engine_parts, gen,
+                                             tokenizer, tmp_path,
+                                             monkeypatch):
+        """restore() must drop the live index BEFORE the snapshot load
+        materializes the new one — holding both capacity-sized corpora
+        doubles HBM mid-restore (a 1M x 1600 f32 engine OOMs a 16 GB
+        chip exactly when restore is most needed; serving_soak r4)."""
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        data = gen.dataset(10)
+        eng.add_sessions(data)
+        prefix = str(tmp_path / "snap")
+        eng.save(prefix)
+
+        from sessionsimilaritysearch_tpu.index.dense import DenseIndex
+
+        real_load = DenseIndex.load.__func__
+        seen = {}
+
+        def spy_load(cls, path, capacity=None, **kw):
+            seen["index_at_load"] = eng.index
+            return real_load(cls, path, capacity=capacity, **kw)
+
+        monkeypatch.setattr(DenseIndex, "load", classmethod(spy_load))
+        eng.restore(prefix)
+        assert seen["index_at_load"] is None  # old buffers already freed
+        assert eng.index.ntotal == 10
+        D, I = eng.search(data[:3], k=2)
+        np.testing.assert_array_equal(np.asarray(I)[:, 0], np.arange(3))
+
+    def test_engine_dtype_passthrough(self, engine_parts, gen, tokenizer,
+                                      tmp_path):
+        """dtype= reaches the dense index (bf16 production storage) and
+        survives a snapshot round-trip."""
+        import jax.numpy as jnp
+
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8, dtype=jnp.bfloat16,
+        )
+        assert eng.index.dtype == jnp.bfloat16
+        data = gen.dataset(12)
+        eng.add_sessions(data)
+        D, I = eng.search(data[:4], k=3)
+        assert np.asarray(D).shape == (4, 3)
+        assert np.all(np.diff(np.asarray(D), axis=1) <= 1e-6)  # sorted
+        prefix = str(tmp_path / "snap_bf16")
+        eng.save(prefix)
+        fresh = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=64,
+            batch_size=8,
+        )
+        fresh.restore(prefix)
+        assert fresh.index.dtype == jnp.bfloat16  # persisted, not default
+
     def test_sharded_snapshot_restore(self, engine_parts, gen, tokenizer,
                                       tmp_path):
         cfg, encode_fn = engine_parts
