@@ -9,11 +9,15 @@ recall@20 under three query/db pairings (test_amazon_filterd.py:87-205,
 
     subsession->session, subsession->subsession, session->session
 
-This script reproduces that protocol on the synthetic regimes: two
-independently trained towers (the production two-pool graph encoder under
-the subsession objective and the whole-session objective,
-training/session_trainers.py modes), then the three-way pairing matrix
-per regime.
+This script reproduces that protocol on the synthetic regimes. The
+reference's two encoders come from its JOINT trainer — session +
+subsession objectives plus a contrastive loss aligning the two embedding
+spaces (train_session_subsession_embedding.py:139-160,:296) — and that
+alignment is what makes the CROSS pairing meaningful; `--towers joint`
+(default) reproduces it via training.session_trainers.JointModel.
+`--towers independent` trains the towers separately as an alignment
+ablation: the within-space pairings hold while subsession->session
+collapses to near-random (measured, docs/RESULTS.md r4).
 
 Run (TPU):  python examples/knn_pairings.py --out docs/knn_pairings_r4.json
 Smoke:      python examples/knn_pairings.py --platform cpu --tiny
@@ -84,8 +88,68 @@ def run_regime(regime: str, args) -> dict:
         loss = float(m.get("loss", np.nan))
         return enc_apply, t_train, loss
 
-    sub_fn, t_sub, loss_sub = train_tower("subsession", seed=1)
-    ses_fn, t_ses, loss_ses = train_tower("session", seed=2)
+    def train_joint_towers(seed: int):
+        """BOTH towers from the reference's joint trainer: session +
+        subsession objectives plus the contrastive alignment that puts the
+        two embedding spaces in correspondence
+        (train_session_subsession_embedding.py:139-160,:296). This is what
+        makes the CROSS pairing (subsession query vs session corpus)
+        meaningful — independently trained towers land in unrelated spaces
+        and the cross row collapses (measured: the `independent` mode)."""
+        from sessionsimilaritysearch_tpu.data.graph import (
+            build_graph_batch,
+            truncate_to_subsession,
+        )
+        from sessionsimilaritysearch_tpu.training.session_trainers import (
+            create_joint_state,
+            make_joint_train_step,
+        )
+
+        rng_np = np.random.default_rng(seed)
+        rng = jax.random.PRNGKey(seed)
+        full = [list(s) + list(t) for s, t in train_data]
+        to_dev = lambda g: jax.tree.map(jnp.asarray, g)
+
+        def make_batches(order):
+            bs = cfg.batch_size
+            for i in range(0, len(order) - bs + 1, bs):  # drop_last
+                rows = [full[j] for j in order[i: i + bs]]
+                sess = build_graph_batch(
+                    [(r, r) for r in rows], tok, cfg.dims)
+                sub = build_graph_batch(
+                    [truncate_to_subsession((r, []), rng_np) for r in rows],
+                    tok, cfg.dims)
+                yield to_dev(sess), to_dev(sub)
+
+        sb0, ssb0 = next(make_batches(np.arange(len(full))))
+        model, state = create_joint_state(
+            cfg, rng, sb0, ssb0, encoder_kind="flagship")
+        step = make_joint_train_step(model)
+        t0 = time.time()
+        m = {}
+        for _ in range(args.epochs):
+            order = rng_np.permutation(len(full))
+            for sb, ssb in make_batches(order):
+                rng, sub_rng = jax.random.split(rng)
+                state, m = step(state, sb, ssb, sub_rng)
+        t_train = time.time() - t0
+        enc_mod = build_graph_encoder(cfg)
+        p = serving_params(state.params)
+        mk = lambda tower: jax.jit(
+            lambda g, _v={"params": p[tower]["encoder"]}: enc_mod.apply(_v, g)
+        )
+        return (mk("subsession_model"), mk("session_model"), t_train,
+                float(m.get("loss", np.nan)),
+                float(m.get("ctv_loss", np.nan)))
+
+    if args.towers == "joint":
+        sub_fn, ses_fn, t_joint, loss_joint, loss_ctv = train_joint_towers(
+            seed=1)
+        t_sub = t_ses = round(t_joint / 2, 1)
+        loss_sub = loss_ses = loss_joint
+    else:
+        sub_fn, t_sub, loss_sub = train_tower("subsession", seed=1)
+        ses_fn, t_ses, loss_ses = train_tower("session", seed=2)
 
     t0 = time.time()
     out = harness.evaluate_knn_pairings(
@@ -94,7 +158,8 @@ def run_regime(regime: str, args) -> dict:
     )
     t_eval = time.time() - t0
     out.update({
-        "regime": regime, "corpus": args.corpus, "train": args.train,
+        "regime": regime, "towers": args.towers,
+        "corpus": args.corpus, "train": args.train,
         "queries": args.queries, "epochs": args.epochs,
         "train_s_subsession": round(t_sub, 1),
         "train_s_session": round(t_ses, 1),
@@ -102,6 +167,8 @@ def run_regime(regime: str, args) -> dict:
         "final_loss_session": round(loss_ses, 4),
         "eval_s": round(t_eval, 1),
     })
+    if args.towers == "joint":
+        out["final_ctv_loss"] = round(loss_ctv, 4)
     print(json.dumps(out), flush=True)
     return out
 
@@ -109,6 +176,11 @@ def run_regime(regime: str, args) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--regimes", default="clustered,adversarial")
+    ap.add_argument("--towers", default="joint",
+                    choices=["joint", "independent"],
+                    help=("'joint' = the reference's contrastively aligned "
+                          "pair (train_session_subsession_embedding.py); "
+                          "'independent' = the alignment ablation"))
     ap.add_argument("--corpus", type=int, default=20_000)
     ap.add_argument("--train", type=int, default=8_000)
     ap.add_argument("--queries", type=int, default=500)

@@ -251,17 +251,18 @@ class JointModel(nn.Module):
     same row in each view is the positive pair."""
 
     cfg: Config
+    encoder_kind: str = "scratch"  # see SessionEmbeddingModel.encoder_kind
 
     def setup(self):
         # both query objectives in MLM+ELECTRA form, per the joint trainer
         # (train_session_subsession_embedding.py:256-294)
         self.session_model = SessionEmbeddingModel(
             self.cfg, mode="session", query_loss_style="mlm_electra",
-            name="session_model",
+            encoder_kind=self.encoder_kind, name="session_model",
         )
         self.subsession_model = SessionEmbeddingModel(
             self.cfg, mode="subsession", query_loss_style="mlm_electra",
-            name="subsession_model",
+            encoder_kind=self.encoder_kind, name="subsession_model",
         )
 
     def __call__(
@@ -347,8 +348,9 @@ def create_session_state(cfg: Config, rng, sample_graph, mode="subsession",
     return model, state
 
 
-def create_joint_state(cfg: Config, rng, sample_session, sample_subsession):
-    model = JointModel(cfg)
+def create_joint_state(cfg: Config, rng, sample_session, sample_subsession,
+                       encoder_kind: str = "scratch"):
+    model = JointModel(cfg, encoder_kind=encoder_kind)
     tx = adam_with_clip(cfg.lr, cfg.grad_clip_norm, cfg.weight_decay)
     state = create_train_state(
         model, rng, (sample_session, sample_subsession, rng), tx,

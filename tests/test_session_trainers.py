@@ -76,6 +76,27 @@ class TestSessionTrainers:
         for k in ("session_loss", "subsession_loss", "ctv_loss"):
             assert np.isfinite(float(m[k])), k
 
+    def test_joint_trainer_flagship_towers(self, batches):
+        """encoder_kind='flagship' joint towers expose the production
+        GraphLevelEncoder param subtree per side — the extraction recipe
+        examples/knn_pairings.py serves from."""
+        from sessionsimilaritysearch_tpu.models.encoder import (
+            build_graph_encoder,
+        )
+
+        cfg, session_b, subsession_b = batches
+        rng = jax.random.PRNGKey(4)
+        model, state = create_joint_state(
+            cfg, rng, session_b, subsession_b, encoder_kind="flagship")
+        step = make_joint_train_step(model)
+        state, m = step(state, session_b, subsession_b, rng)
+        assert np.isfinite(float(m["ctv_loss"]))
+        enc = build_graph_encoder(cfg)
+        for tower in ("session_model", "subsession_model"):
+            emb = enc.apply(
+                {"params": state.params[tower]["encoder"]}, subsession_b)
+            assert emb.shape == (8, 2 * cfg.gnn_nout)
+
     def test_encode_method(self, batches):
         cfg, _, subsession_b = batches
         rng = jax.random.PRNGKey(3)
