@@ -293,10 +293,17 @@ class DenseIndex:
         return self.reconstruct_batch([int(i)])[0]
 
     def search(self, queries, k: int,
-               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
+               row_mask=None, out: str = "np",
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact top-k. Returns (D [q,k], I [q,k]) like ``faiss.Index.search``:
         scores descending for 'cos'/'ip', squared distances ascending for
         'l2'; missing slots are (-inf/+inf, -1).
+
+        ``out``: 'np' (default) materializes FAISS-style numpy results;
+        'device' returns jax arrays WITHOUT forcing a host transfer — the
+        device-resident convention (EmbeddingPipeline(out='device')): on a
+        tunneled dev chip each materialized [q,k] pair costs ~50-80 ms of
+        link time that a downstream device consumer never needs to pay.
 
         ``row_mask``: optional bool array over the current rows (length
         ``size``, or ``capacity``) — filtered search: rows where False
@@ -327,7 +334,11 @@ class DenseIndex:
                 queries.astype(jnp.float32)
             )
         metric = "ip" if self.metric == "cos" else self.metric
-        if row_mask is not None:
+        if row_mask is not None and not (
+            isinstance(row_mask, jax.Array)
+            and row_mask.dtype == jnp.bool_
+            and row_mask.shape[0] == self.capacity
+        ):  # a device-resident capacity-length bool mask passes through
             row_mask = np.asarray(row_mask, bool)
             assert row_mask.shape[0] in (self.size, self.capacity), (
                 f"row_mask length {row_mask.shape[0]} matches neither "
@@ -351,7 +362,11 @@ class DenseIndex:
             query_scales=query_scales,
             row_mask=row_mask,
         )
-        vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
+        if out == "np":
+            vals, idx = np.asarray(vals)[:nq], np.asarray(idx)[:nq]
+        else:
+            assert out == "device", f"out must be 'np'|'device', got {out!r}"
+            vals, idx = vals[:nq], idx[:nq]
         if self.metric == "l2":
             vals = -vals  # back to ascending squared distance
         return vals, idx

@@ -346,11 +346,14 @@ class ShardedDenseIndex:
             self._scales = state["scales"]
 
     def search(self, queries, k: int,
-               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
+               row_mask=None, out: str = "np",
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """Global exact top-k. ``row_mask``: optional bool array keyed by
         GLOBAL id (length >= the highest id ever issued) — filtered
         search; rows whose gid maps to False never rank. Ids are stable
-        under removal, so gid-keyed masks stay valid across maintenance."""
+        under removal, so gid-keyed masks stay valid across maintenance.
+        ``out='device'`` skips the host materialization (DenseIndex.search
+        semantics)."""
         qdtype = jnp.bfloat16 if self.quantize else self.dtype
         queries = jnp.asarray(queries, qdtype)
         nq = queries.shape[0]
@@ -400,7 +403,10 @@ class ShardedDenseIndex:
             score_dtype=self.score_dtype,
             row_mask=slot_mask,
         )
-        return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
+        if out == "np":
+            return np.asarray(vals)[:nq], np.asarray(ids)[:nq]
+        assert out == "device", f"out must be 'np'|'device', got {out!r}"
+        return vals[:nq], ids[:nq]
 
     def range_search(
         self, queries, radius: float, k0: int = 128, row_mask=None,

@@ -455,3 +455,66 @@ class TestShardedTwoStageRowMask:
         cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
         _, I = idx.search(cn[:3], 1, pool=16, row_mask=mask)
         np.testing.assert_array_equal(I[:, 0], [40, 40, 40])
+
+
+class TestDeviceResidentServing:
+    """``out='device'`` + device-resident capacity masks: the tunnel-safe
+    serving forms (each per-call host crossing costs ~0.1-0.6 s on the
+    tunneled dev chip; examples/maintenance_bench.py measures with these)."""
+
+    def test_out_device_matches_np(self, rng):
+        import jax
+
+        corpus = rng.standard_normal((300, 24)).astype(np.float32)
+        queries = rng.standard_normal((6, 24)).astype(np.float32)
+        ix = DenseIndex(dim=24, capacity=512, chunk_size=128)
+        ix.add(corpus)
+        dn, in_ = ix.search(queries, 9)
+        dd, id_ = ix.search(jnp.asarray(queries), 9, out="device")
+        assert isinstance(dd, jax.Array) and isinstance(id_, jax.Array)
+        assert dd.shape == dn.shape == (6, 9)
+        np.testing.assert_allclose(np.asarray(dd), dn, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(id_), in_)
+
+    def test_out_device_l2_sign(self, rng):
+        corpus = rng.standard_normal((100, 8)).astype(np.float32)
+        ix = DenseIndex(dim=8, capacity=128, metric="l2", chunk_size=64)
+        ix.add(corpus)
+        dn, _ = ix.search(corpus[:4], 3)
+        dd, _ = ix.search(corpus[:4], 3, out="device")
+        np.testing.assert_allclose(np.asarray(dd), dn, rtol=1e-5)
+        # ascending squared distances (self-distance ~0 up to f32 fuzz)
+        assert float(np.asarray(dd)[0, -1]) >= float(np.asarray(dd)[0, 0])
+
+    def test_device_capacity_mask_passthrough(self, rng):
+        corpus = rng.standard_normal((200, 16)).astype(np.float32)
+        queries = rng.standard_normal((5, 16)).astype(np.float32)
+        ix = DenseIndex(dim=16, capacity=256, chunk_size=64)
+        ix.add(corpus)
+        mask = np.zeros(256, bool)
+        mask[:200] = rng.random(200) < 0.4
+        dn, in_ = ix.search(queries, 7, row_mask=mask[:200])
+        dd, id_ = ix.search(queries, 7, row_mask=jnp.asarray(mask),
+                            out="device")
+        np.testing.assert_allclose(np.asarray(dd), dn, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(id_), in_)
+
+    def test_sharded_out_device_matches_np(self, rng):
+        import jax
+        from jax.sharding import Mesh
+
+        from sessionsimilaritysearch_tpu.index.sharded import (
+            ShardedDenseIndex,
+        )
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+        corpus = rng.standard_normal((256, 16)).astype(np.float32)
+        queries = rng.standard_normal((5, 16)).astype(np.float32)
+        ix = ShardedDenseIndex(dim=16, capacity=512, mesh=mesh,
+                               chunk_size=64)
+        ix.add(corpus)
+        dn, in_ = ix.search(queries, 9)
+        dd, id_ = ix.search(queries, 9, out="device")
+        assert isinstance(dd, jax.Array)
+        np.testing.assert_allclose(np.asarray(dd), dn, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(id_), in_)
