@@ -19,6 +19,23 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+# Compiled-collective cache. A fresh ``jax.shard_map`` over a fresh closure
+# re-traces and re-lowers on EVERY call (~2 s/call on CPU meshes, ~20 s/call
+# measured at 1M x 1600 on the chip — maintenance_bench r4 caught the
+# sharded scan running 300x slower than the identical single-chip scan).
+# Each collective below builds its mapped function ONCE per static
+# configuration, wraps it in jit, and reuses it; the jit layer then caches
+# per input shape/dtype as usual, so serving calls are pure dispatch.
+_FN_CACHE: dict = {}
+
+
+def _cached_fn(key, build):
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE[key] = jax.jit(build())
+    return fn
+
+
 def sharded_topk(
     queries: jnp.ndarray,
     corpus: jnp.ndarray,
@@ -64,6 +81,8 @@ def sharded_topk(
     has_cs = corpus_scales is not None
     has_qs = query_scales is not None
     has_mask = row_mask is not None
+    chunk_size = min(chunk_size, shard_rows)
+    score_dtype = jnp.dtype(score_dtype)  # canonical: stable cache keys
 
     def local_search(q, c_local, ids_local, valid, *extra):
         it = iter(extra)
@@ -72,7 +91,7 @@ def sharded_topk(
         rm = next(it) if has_mask else None
         vals, idx = chunked_topk(
             q, c_local, k,
-            chunk_size=min(chunk_size, shard_rows),
+            chunk_size=chunk_size,
             valid_count=valid[0],
             mode=mode, bucket=bucket,
             corpus_scales=cs, query_scales=qs,
@@ -105,14 +124,19 @@ def sharded_topk(
         extra_args.append(row_mask)
         extra_specs.append(P(axis))
 
-    fn = jax.shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
-        out_specs=(P(), P()),
-        # the scan carry inside chunked_topk starts replicated and becomes
-        # shard-varying after the first chunk; skip the static VMA check
-        check_vma=False,
+    fn = _cached_fn(
+        ("topk", mesh, axis, k, chunk_size, mode, bucket, score_dtype,
+         shard_rows, has_cs, has_qs, has_mask),
+        lambda: jax.shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
+            out_specs=(P(), P()),
+            # the scan carry inside chunked_topk starts replicated and
+            # becomes shard-varying after the first chunk; skip the static
+            # VMA check
+            check_vma=False,
+        ),
     )
     return fn(queries, corpus, shard_ids, valid_per_shard, *extra_args)
 
@@ -303,13 +327,18 @@ def sharded_twostage_topk(
         extra_args.append(row_mask)
         extra_specs.append(P(axis))
 
-    fn = jax.shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis), P(axis),
-                  *extra_specs),
-        out_specs=(P(), P()),
-        check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+    fn = _cached_fn(
+        ("twostage", mesh, axis, k, local_pool, recall_target,
+         jnp.dtype(score_dtype), shard_rows, has_cs, has_qs, has_mask,
+         packed_bits, packed_block_rows, rpb, pallas_ok, interpret),
+        lambda: jax.shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis, None), P(axis),
+                      P(axis), *extra_specs),
+            out_specs=(P(), P()),
+            check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+        ),
     )
     return fn(queries, q_signs, corpus, codes, shard_ids, valid_per_shard,
               *extra_args)
@@ -456,12 +485,19 @@ def sharded_hamming_topk(
         extra_args.append(row_mask)
         extra_specs.append(P(axis))
 
-    fn = jax.shard_map(
-        local_search,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
-        out_specs=(P(), P()),
-        check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+    fn = _cached_fn(
+        ("hamming", mesh, axis, k, k_local, n_bits, selection,
+         recall_target, shard_rows, has_mask, packed_bits,
+         packed_block_rows,
+         (rpb, pallas_ok) if packed_bits is not None else None,
+         interpret),
+        lambda: jax.shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(axis, None), P(axis), P(axis), *extra_specs),
+            out_specs=(P(), P()),
+            check_vma=False,  # same scan-carry VMA caveat as sharded_topk
+        ),
     )
     return fn(q_signs, codes, shard_ids, valid_per_shard, *extra_args)
 

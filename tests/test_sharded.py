@@ -345,3 +345,43 @@ class TestShardedSnapshotFidelity:
         idxf.save(pf)
         with pytest.raises(ValueError, match="quantize"):
             ShardedDenseIndex.load(pf, mesh, quantize="int8")
+
+
+class TestCollectiveCompileCache:
+    """The sharded collectives must NOT re-trace per call: a fresh
+    shard_map over a fresh closure re-lowers every invocation (~20 s/call
+    measured at 1M x 1600 on the chip, 300x the single-chip scan —
+    maintenance_bench r4). Serving calls reuse one cached jitted program
+    per static configuration."""
+
+    def test_repeat_calls_reuse_cached_fn(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.parallel import collectives
+
+        corpus = rng.standard_normal((512, 16)).astype(np.float32)
+        queries = rng.standard_normal((8, 16)).astype(np.float32)
+        sc = shard_corpus(jnp.asarray(corpus), mesh)
+        key0 = set(collectives._FN_CACHE)
+        v1, i1 = sharded_topk(jnp.asarray(queries), sc, 5, mesh,
+                              chunk_size=64)
+        new = set(collectives._FN_CACHE) - key0
+        assert len(new) == 1  # one program for this configuration
+        for _ in range(3):  # repeats: no new cache entries, same results
+            v2, i2 = sharded_topk(jnp.asarray(queries), sc, 5, mesh,
+                                  chunk_size=64)
+        assert set(collectives._FN_CACHE) - key0 == new
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_index_search_cache_stable_across_maintenance(self, mesh, rng):
+        from sessionsimilaritysearch_tpu.parallel import collectives
+
+        ix = ShardedDenseIndex(dim=16, capacity=256, mesh=mesh,
+                               chunk_size=32)
+        ix.add(rng.standard_normal((128, 16)).astype(np.float32))
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        ix.search(q, 5)
+        n0 = len(collectives._FN_CACHE)
+        ix.add(rng.standard_normal((64, 16)).astype(np.float32))
+        ix.search(q, 5)
+        ix.remove_ids(np.arange(10))
+        ix.search(q, 5)
+        assert len(collectives._FN_CACHE) == n0  # streaming: zero retrace
