@@ -361,12 +361,14 @@ class TestCollectiveCompileCache:
         queries = rng.standard_normal((8, 16)).astype(np.float32)
         sc = shard_corpus(jnp.asarray(corpus), mesh)
         key0 = set(collectives._FN_CACHE)
-        v1, i1 = sharded_topk(jnp.asarray(queries), sc, 5, mesh,
+        # k=11 is unique to this test: exactly one entry must appear even
+        # when other tests already populated the cache
+        v1, i1 = sharded_topk(jnp.asarray(queries), sc, 11, mesh,
                               chunk_size=64)
         new = set(collectives._FN_CACHE) - key0
         assert len(new) == 1  # one program for this configuration
         for _ in range(3):  # repeats: no new cache entries, same results
-            v2, i2 = sharded_topk(jnp.asarray(queries), sc, 5, mesh,
+            v2, i2 = sharded_topk(jnp.asarray(queries), sc, 11, mesh,
                                   chunk_size=64)
         assert set(collectives._FN_CACHE) - key0 == new
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
