@@ -67,6 +67,62 @@ def _session_key(sess) -> tuple:
     )
 
 
+class _GrowArr:
+    """Append-only numpy array with amortized-doubling growth.
+
+    Replaces the Python-list metadata mirrors so that (a) `_np_meta`
+    snapshots are O(1) views instead of O(total) list->array conversions
+    and (b) removal compacts with one vectorized gather instead of an
+    O(corpus) Python rebuild (the soak measured `_rebuild_meta` at ~18 s
+    per 256-row removal on a 1M-row corpus).
+
+    Lock-free reader contract (same as the lists it replaces): writers
+    hold the ingest lock; readers call ``view()``/``len()`` without it.
+    ``_n`` is published AFTER the data is written, so ``view(len(self))``
+    is always a fully-written prefix. Growth swaps in a new backing array;
+    readers holding the old one still see a consistent snapshot.
+    """
+
+    __slots__ = ("_a", "_n")
+
+    def __init__(self, dtype, data=None):
+        if data is not None:
+            self._a = np.ascontiguousarray(data, dtype=dtype)
+            self._n = len(self._a)
+        else:
+            self._a = np.empty(1024, dtype=dtype)
+            self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        return self._a[: self._n][i]
+
+    def __setitem__(self, i, v) -> None:
+        self._a[: self._n][i] = v
+
+    def view(self, n: int = None) -> np.ndarray:
+        a = self._a  # snapshot the reference once (growth may swap it)
+        if n is None:
+            n = self._n
+        return a[: min(n, len(a))]
+
+    def append(self, v) -> None:
+        self.extend((v,))
+
+    def extend(self, vals) -> None:
+        vals = np.asarray(list(vals) if not isinstance(vals, np.ndarray)
+                          else vals, dtype=self._a.dtype)
+        need = self._n + len(vals)
+        if need > len(self._a):
+            new = np.empty(max(need, 2 * len(self._a)), dtype=self._a.dtype)
+            new[: self._n] = self._a[: self._n]
+            self._a = new
+        self._a[self._n: need] = vals
+        self._n = need  # publish last: seals the write for lock-free reads
+
+
 class SessionSearchEngine:
     """Encode-then-exact-search session similarity serving.
 
@@ -161,10 +217,10 @@ class SessionSearchEngine:
         # n = len(_item_lens) first yields a consistent prefix of all three
         # even while a background ingest thread is appending.
         self._key_to_id: dict = {}
-        self._canon_ids: List[int] = []
-        self._item_flat: List[int] = []
-        self._item_wstan: List[float] = []  # STAN weight per _item_flat row
-        self._item_lens: List[int] = []
+        self._canon_ids = _GrowArr(np.int64)
+        self._item_flat = _GrowArr(np.int64)
+        self._item_wstan = _GrowArr(np.float64)  # STAN w per _item_flat row
+        self._item_lens = _GrowArr(np.int64)
         self._meta_cache: Optional[tuple] = None
         # gids dropped via remove_sessions in sharded mode (stable-id
         # indexes keep tombstoned metadata rows; single-chip compacts)
@@ -302,14 +358,13 @@ class SessionSearchEngine:
         cache = self._meta_cache
         if cache is not None and cache[0] == n:
             return cache
-        lens = np.asarray(self._item_lens[:n], dtype=np.int64)
+        lens = self._item_lens.view(n)
+        n = len(lens)  # re-bound: a concurrent shrink may have raced us
         off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lens, out=off[1:])
-        flat = np.asarray(self._item_flat[: int(off[-1])], dtype=np.int64)
-        wstan = np.asarray(
-            self._item_wstan[: int(off[-1])], dtype=np.float64
-        )
-        canon = np.asarray(self._canon_ids[:n], dtype=np.int64)
+        np.cumsum(lens[:n], out=off[1:])
+        flat = self._item_flat.view(int(off[-1]))
+        wstan = self._item_wstan.view(int(off[-1]))
+        canon = self._canon_ids.view(n)
         self._meta_cache = (n, canon, off, flat, wstan)
         return self._meta_cache
 
@@ -367,7 +422,7 @@ class SessionSearchEngine:
         self._canon = [_session_key(s) for s in self.sessions]
         self._items = [_item_set(s) for s in self.sessions]
         self._key_to_id = {}
-        self._canon_ids = [
+        canon_ids = [
             self._key_to_id.setdefault(key, len(self._key_to_id))
             for key in self._canon
         ]
@@ -382,9 +437,52 @@ class SessionSearchEngine:
             lens.append(len(ids))
         # lens seals LAST on append; on shrink assign it FIRST so a racing
         # _np_meta never computes offsets past the (shorter) new arrays
-        self._item_lens = lens
-        self._item_flat = flat
-        self._item_wstan = wstan
+        self._item_lens = _GrowArr(np.int64, lens)
+        self._canon_ids = _GrowArr(np.int64, canon_ids)
+        self._item_flat = _GrowArr(np.int64, flat)
+        self._item_wstan = _GrowArr(np.float64, wstan)
+        self._meta_cache = None
+
+    def _compact_meta(self, src: np.ndarray, dst: np.ndarray,
+                      new_size: int) -> None:
+        """Mirror the index's swap-with-last compaction on every per-row
+        metadata structure in O(moved + items) instead of re-deriving all
+        of it from ``self.sessions`` (O(corpus) Python — the r4 serving
+        soak measured the full rebuild at ~18 s per 256-row removal on a
+        1M-row corpus; this path is ~ms). ``src``/``dst``/``new_size``
+        must be the SAME ``compaction_plan`` applied to the index."""
+        for s, d in zip(src.tolist(), dst.tolist()):
+            self.sessions[d] = self.sessions[s]
+            self._stamps[d] = self._stamps[s]
+            self._canon[d] = self._canon[s]
+            self._items[d] = self._items[s]
+        del self.sessions[new_size:]
+        del self._stamps[new_size:]
+        del self._canon[new_size:]
+        del self._items[new_size:]
+        # stale keys may linger in _key_to_id; canonical ids only need
+        # EQUALITY semantics (dedup groups rows with the same content), so
+        # ids need not stay dense — restore() rebuilds the dense form.
+        n_old = len(self._item_lens)
+        lens = self._item_lens.view(n_old).copy()
+        canon = self._canon_ids.view(n_old).copy()
+        off = np.zeros(n_old + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        flat = self._item_flat.view(int(off[-1]))
+        wstan = self._item_wstan.view(int(off[-1]))
+        perm = np.arange(new_size, dtype=np.int64)
+        keep = dst < new_size
+        perm[dst[keep]] = src[keep]
+        counts = lens[perm]
+        new_off = np.zeros(new_size + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_off[1:])
+        gather = (np.repeat(off[perm] - new_off[:-1], counts)
+                  + np.arange(int(new_off[-1]), dtype=np.int64))
+        # shrink order (see _rebuild_meta): lens first, then the arrays
+        self._item_lens = _GrowArr(np.int64, counts)
+        self._canon_ids = _GrowArr(np.int64, canon[perm])
+        self._item_flat = _GrowArr(np.int64, flat[gather])
+        self._item_wstan = _GrowArr(np.float64, wstan[gather])
         self._meta_cache = None
 
     def remove_sessions(self, data: Optional[Sequence] = None,
@@ -450,14 +548,9 @@ class SessionSearchEngine:
                 return removed
             src, dst, new_size = compaction_plan(self.index.ntotal, rows)
             removed = self.index.remove_ids(rows)
-            # mirror the index's swap-with-last compaction on the
-            # row-aligned session/stamp lists, then rebuild derived meta
-            for s, d in zip(src.tolist(), dst.tolist()):
-                self.sessions[d] = self.sessions[s]
-                self._stamps[d] = self._stamps[s]
-            del self.sessions[new_size:]
-            del self._stamps[new_size:]
-            self._rebuild_meta()
+            # mirror the index's swap-with-last compaction on every
+            # row-aligned metadata structure (incremental, not a rebuild)
+            self._compact_meta(src, dst, new_size)
             return removed
 
     def expire(self, before: float) -> int:

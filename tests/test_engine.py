@@ -268,14 +268,14 @@ def _bare_engine(n_rows: int, rng: np.random.Generator, max_items=12,
                  asin_num=50_000) -> SessionSearchEngine:
     """Engine shell with synthetic per-row metadata (no encoder/index work):
     exercises the vectorized query-path helpers at serving shapes."""
-    from sessionsimilaritysearch_tpu.engine import _session_key
+    from sessionsimilaritysearch_tpu.engine import _GrowArr, _session_key
 
     eng = SessionSearchEngine.__new__(SessionSearchEngine)
     eng._key_to_id = {}
-    eng._canon_ids = []
-    eng._item_flat = []
-    eng._item_wstan = []
-    eng._item_lens = []
+    eng._canon_ids = _GrowArr(np.int64)
+    eng._item_flat = _GrowArr(np.int64)
+    eng._item_wstan = _GrowArr(np.float64)
+    eng._item_lens = _GrowArr(np.int64)
     eng._meta_cache = None
     eng._items = []
     eng._canon = []

@@ -524,3 +524,32 @@ class TestEngineRemove:
         eng.flush()
         assert eng.expire(before=11.0) == 4
         eng.close()
+
+    def test_incremental_compaction_matches_full_rebuild(self, gen,
+                                                         tokenizer):
+        """`_compact_meta` (O(moved), the serving-soak fix for ~18 s/remove
+        full rebuilds at 1M rows) must leave every metadata structure
+        semantically identical to `_rebuild_meta` — same flat item CSR and
+        STAN weights, and the same canonical-EQUALITY classes (raw canon
+        ids may differ: the incremental path never renumbers)."""
+        eng = self._engine(gen, tokenizer)
+        data = gen.dataset(24)
+        eng.add_sessions(data)
+        eng.add_sessions(data[:4])  # duplicates: exercise canon classes
+        eng.remove_sessions(ids=[1, 5, 17, 25])
+        eng.add_sessions(gen.dataset(6))  # append after a shrink
+        eng.remove_sessions(data=data[7:9])
+
+        n, canon, off, flat, wstan = eng._np_meta()
+        eng._rebuild_meta()
+        n2, canon2, off2, flat2, wstan2 = eng._np_meta()
+
+        assert n == n2 == len(eng.sessions)
+        np.testing.assert_array_equal(off, off2)
+        np.testing.assert_array_equal(flat, flat2)
+        np.testing.assert_allclose(wstan, wstan2)
+        # equality-class isomorphism: rows grouped identically
+        remap = {}
+        for a, b in zip(canon.tolist(), canon2.tolist()):
+            assert remap.setdefault(a, b) == b
+        assert len(remap) == len(set(remap.values()))
