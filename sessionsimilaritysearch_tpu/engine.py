@@ -624,7 +624,11 @@ class SessionSearchEngine:
                 f"metric={self.index.metric!r} scores are unbounded and the "
                 "alpha weighting would be meaningless (use metric='cos')"
             )
-        emb = self.embed(data)
+        # device-resident: query embeddings go encoder -> index without a
+        # host round trip (on the tunneled dev chip the [q, dim] crossing
+        # costs ~150 ms each way at 256 queries x 1600-d — the r4 soak
+        # measured it as 5x the scan itself)
+        emb = self.embed(data, out="device")
         t0 = time.perf_counter()
         if hybrid_alpha is None:
             D, I = self.search_embeddings(emb, k, dedup=dedup, where=where)
@@ -762,10 +766,10 @@ class SessionSearchEngine:
         if where is not None:
             kw["row_mask"] = self._where_mask(where)
         if not dedup:
-            return self.index.search(np.asarray(emb), k, **kw)
+            return self.index.search(emb, k, **kw)
         # over-fetch so dropped duplicates can be backfilled
         k2 = min(max(2 * k, k + 8), max(self.index.ntotal, 1))
-        D2, I2 = self.index.search(np.asarray(emb), k2, **kw)
+        D2, I2 = self.index.search(emb, k2, **kw)
         return self._dedup_topk(D2, I2, k)
 
     def range_search(self, data: Sequence, radius: float,
@@ -787,12 +791,10 @@ class SessionSearchEngine:
                 f"engine serves a {type(self.index).__name__} (two-stage "
                 "pools have no radius semantics)"
             )
-        emb = self.embed(data)
+        emb = self.embed(data, out="device")
         mask = self._where_mask(where) if where is not None else None
         t0 = time.perf_counter()
-        out = self.index.range_search(
-            np.asarray(emb), radius, k0=k0, row_mask=mask
-        )
+        out = self.index.range_search(emb, radius, k0=k0, row_mask=mask)
         # radius queries count in the same serving stats as search()
         # (ADVICE r3: they were invisible in engine.stats())
         self.timer.totals["search"] += time.perf_counter() - t0

@@ -424,7 +424,8 @@ class ShardedDenseIndex:
                 "range_search needs an exact selection mode: approx "
                 "top-k can silently drop in-radius rows"
             )
-        queries = np.asarray(queries)
+        if not hasattr(queries, "shape"):  # keep device queries on-device
+            queries = np.asarray(queries)
         return _range_from_search(
             lambda k: self.search(queries, k, row_mask=row_mask),
             queries.shape[0], radius,
