@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -36,7 +37,19 @@ class PCAProjector(NamedTuple):
         """Project [n, d] -> [n, out_dim]. ``renormalize`` re-unit-norms
         rows — the right choice for cosine serving: the projected cosine
         then equals the cosine of the projected directions, and residual
-        norm lost to the dropped subspace does not bias scores."""
+        norm lost to the dropped subspace does not bias scores.
+
+        Type-preserving: a jax-array input projects ON DEVICE and returns
+        a device array (the device-resident serving convention — a 1M-row
+        corpus never crosses the host link to be projected)."""
+        if isinstance(emb, jnp.ndarray) and not isinstance(emb, np.ndarray):
+            x = emb.astype(jnp.float32) - jnp.asarray(self.mean)
+            y = jnp.dot(x, jnp.asarray(self.components).T,
+                        preferred_element_type=jnp.float32)
+            if renormalize:
+                n = jnp.linalg.norm(y, axis=-1, keepdims=True)
+                y = y / jnp.clip(n, 1e-12)
+            return y
         x = np.asarray(emb, np.float32) - self.mean
         y = x @ self.components.T
         if renormalize:
@@ -78,14 +91,17 @@ def fit_itq(
     for 70 epochs to get (fine_tune_ours.py:269-281, config.py:59),
     obtained here from one SVD + a few dozen tiny [bits, bits] SVDs.
     """
-    emb = np.asarray(emb, np.float32)
     n, d = emb.shape
     assert 0 < n_bits <= d, (n_bits, d)
     pca = fit_pca(emb, n_bits, sample=sample, seed=seed)
     rng = np.random.default_rng(seed)
     if n > sample:
+        # sample before the host pull (see fit_pca): device corpora fit
+        # from the [sample, d] gather only
         idx = rng.choice(n, sample, replace=False)
+        idx.sort()
         emb = emb[idx]
+    emb = np.asarray(emb, np.float32)
     V = (emb - pca.mean) @ pca.components.T  # [n, n_bits], centered
     # random orthogonal init (QR of a Gaussian), then alternate:
     # B = sign(VR); R = argmax tr(R^T V^T B) = U @ Vt from svd(V^T B)
@@ -117,12 +133,17 @@ def fit_pca(
     deployment on it (e.g. require > 0.99) plus a value_recall_at_k
     check against the full-dim oracle.
     """
-    emb = np.asarray(emb, np.float32)
     n, d = emb.shape
     assert 0 < out_dim <= d, (out_dim, d)
     if n > sample:
+        # sample BEFORE materializing on host: a device-resident corpus
+        # (EmbeddingPipeline out='device') only crosses the link as the
+        # [sample, d] gather, never as the full [n, d] buffer (~6.4 GB at
+        # 1M x 1600 over the tunneled dev chip)
         idx = np.random.default_rng(seed).choice(n, sample, replace=False)
+        idx.sort()
         emb = emb[idx]
+    emb = np.asarray(emb, np.float32)
     mean = emb.mean(axis=0)
     x = (emb - mean).astype(np.float32)
     # economy SVD on the sample: components = top right-singular vectors

@@ -529,13 +529,29 @@ def value_recall_at_k(
         scores, np.maximum(found_idx, 0).astype(np.int64), axis=1
     )
     got = np.where(found_idx >= 0, got, -np.inf)
-    got = -np.sort(-got, axis=1)  # descending
-    tol = rel_tol * scale
+    return value_recall_from_scores(got, oracle, rel_tol * scale)
+
+
+def value_recall_from_scores(
+    got: np.ndarray, oracle: np.ndarray, tol
+) -> float:
+    """The :func:`value_recall_at_k` matching from precomputed scores —
+    for corpora that never visit the host (device-resident serving): the
+    caller computes ``got`` [q, k] (true scores of the retrieved rows;
+    -inf for missing slots) and ``oracle`` [q, k] (the true top-k score
+    bars) on device, pulls only those [q, k] tiles, and gates here.
+    ``tol`` is the ABSOLUTE per-query tolerance (rel_tol * score scale).
+    """
+    got = -np.sort(-np.asarray(got, np.float64), axis=1)  # descending
+    oracle = -np.sort(-np.asarray(oracle, np.float64), axis=1)
+    tol = np.broadcast_to(np.asarray(tol, np.float64), (got.shape[0],))
+    q, k = oracle.shape
+    assert got.shape[1] >= k, (got.shape, oracle.shape)
     matched = 0
-    for r in range(found_idx.shape[0]):
+    for r in range(q):
         j = 0
         for i in range(k):  # bars descend; each retrieved row used once
             if j < k and got[r, j] >= oracle[r, i] - tol[r]:
                 matched += 1
                 j += 1
-    return matched / (k * max(found_idx.shape[0], 1))
+    return matched / (k * max(q, 1))

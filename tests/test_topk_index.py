@@ -870,3 +870,74 @@ class TestPCAProjection:
         z = rng.standard_normal((2000, 256)).astype(np.float32)
         proj = fit_pca(z, 32)
         assert proj.explained < 0.5  # the deployment guardrail fires
+
+
+class TestDeviceResidentHelpers:
+    """Type-preserving device paths of the serving helpers (the corpus
+    never crosses the host link): parity with their host twins."""
+
+    def test_pack_bits_t_device_matches_host(self, rng):
+        from sessionsimilaritysearch_tpu.ops.hamming import (
+            TBLOCK,
+            pack_bits_t,
+            pack_bits_t_np,
+        )
+
+        signs = np.where(
+            rng.random((2 * TBLOCK, 96)) > 0.5, 1.0, -1.0
+        ).astype(np.float32)
+        np.testing.assert_array_equal(
+            pack_bits_t_np(signs), np.asarray(pack_bits_t(jnp.asarray(signs)))
+        )
+
+    def test_simhash_device_matches_host(self, rng):
+        from sessionsimilaritysearch_tpu.ops.hamming import simhash_codes
+
+        emb = rng.standard_normal((256, 64)).astype(np.float32)
+        h = simhash_codes(emb, 48, seed=5)
+        d = simhash_codes(jnp.asarray(emb), 48, seed=5)
+        assert isinstance(d, jnp.ndarray)
+        np.testing.assert_array_equal(h, np.asarray(d))
+
+    def test_projector_device_matches_host(self, rng):
+        from sessionsimilaritysearch_tpu.ops.projection import fit_pca
+
+        c = rng.standard_normal((512, 32)).astype(np.float32)
+        proj = fit_pca(c, 8)
+        np.testing.assert_allclose(
+            proj(c[:64]), np.asarray(proj(jnp.asarray(c[:64]))), atol=1e-5
+        )
+
+    def test_fitters_sample_device_input(self, rng):
+        """fit_pca/fit_itq over a device corpus gather only the sample:
+        the fit equals the host fit on the same data."""
+        from sessionsimilaritysearch_tpu.ops.projection import fit_itq, fit_pca
+
+        big = rng.standard_normal((70_000, 24)).astype(np.float32)
+        p1, p2 = fit_pca(big, 6), fit_pca(jnp.asarray(big), 6)
+        np.testing.assert_allclose(p1.mean, p2.mean, atol=1e-5)
+        assert abs(p1.explained - p2.explained) < 1e-6
+        i1 = fit_itq(big, 6, iters=5)
+        i2 = fit_itq(jnp.asarray(big), 6, iters=5)
+        np.testing.assert_allclose(i1.components, i2.components, atol=1e-3)
+
+    def test_value_recall_from_scores_matches_full(self, rng):
+        from sessionsimilaritysearch_tpu.ops.topk import (
+            value_recall_at_k,
+            value_recall_from_scores,
+        )
+
+        q = rng.standard_normal((8, 16))
+        c = rng.standard_normal((100, 16))
+        scores = q @ c.T
+        idx = np.argsort(-scores, axis=1)[:, :10]
+        idx[0, 3] = idx[0, 0]  # duplicated row: only fills one slot
+        idx[1, 9] = -1  # missing slot
+        got = np.take_along_axis(scores, np.maximum(idx, 0), axis=1)
+        got = np.where(idx >= 0, got, -np.inf)
+        oracle = -np.sort(-scores, axis=1)[:, :10]
+        scale = np.abs(scores).max(axis=1)
+        for tol in (0.0, 0.01):
+            full = value_recall_at_k(idx, q, c, 10, rel_tol=tol)
+            part = value_recall_from_scores(got, oracle, tol * scale)
+            assert abs(full - part) < 1e-12
