@@ -161,7 +161,16 @@ def run_soak(args) -> dict:
         try:
             return int(dev.memory_stats()["bytes_in_use"])
         except Exception:
-            return None
+            # tunneled dev chips don't expose memory_stats; fall back to
+            # the process's live device arrays (an upper bound on what WE
+            # hold — exactly the leak signal the stability claim needs)
+            try:
+                return int(sum(
+                    x.nbytes for x in jax.live_arrays()
+                    if dev in getattr(x, "devices", lambda: set())()
+                ))
+            except Exception:
+                return None
 
     # --- warmup: touch every verb once so all jit caches are populated
     # BEFORE the flat-cache window opens
@@ -175,18 +184,26 @@ def run_soak(args) -> dict:
     print(f"warmup done; jit caches {cache0}, hbm={hbm0}", flush=True)
 
     # --- phase MIXED: sustained interleaving
-    lat, events = [], []
+    lat, lat_during_save, events = [], [], []
     removed_total = expired_total = 0
     snap = None
+    save_handle = None
+    save_t0 = save_s = None
+    snap_ref = None
     t_mix = time.perf_counter()
     for i in range(args.batches):
         q0 = (i * args.qbatch) % (len(qpool) - args.qbatch + 1)
+        save_in_flight = save_handle is not None and not save_handle.done()
         t0 = time.perf_counter()
         D, I = eng.search(qpool[q0: q0 + args.qbatch], k=args.k)
         # chain a data dependency: materialize scores on host (tunnel-safe
         # timing per CLAUDE.md)
         float(np.asarray(D)[:, 0].sum())
-        lat.append(time.perf_counter() - t0)
+        (lat_during_save if save_in_flight else lat).append(
+            time.perf_counter() - t0)
+        if save_handle is not None and save_s is None \
+                and save_handle.done():
+            save_s = time.perf_counter() - save_t0
 
         batch = [d[0] for d in stream[i * args.ibatch:(i + 1) * args.ibatch]]
         t0 = time.perf_counter()
@@ -208,27 +225,45 @@ def run_soak(args) -> dict:
             expired_total += eng.expire(before=float(i - args.expire_every))
             events.append(("expire", time.perf_counter() - t0))
         if i == args.batches // 2:
-            # snapshot + restore mid-run, then keep serving
+            # NON-BLOCKING snapshot mid-run: capture + kick off the
+            # background write, then KEEP SERVING — the during-save search
+            # latencies land in lat_during_save (VERDICT r4 task 4: p99
+            # during save must stay <=2x steady-state). Restore + parity
+            # check happen after the mixed phase so the restore (which
+            # rolls the corpus back to the capture point by design)
+            # doesn't perturb the sustained-QPS window.
             prefix = os.path.join(args.workdir, "soak_snap")
             # same (shape, k) as the serving searches: the parity check
             # must not itself be a new jit program
             Db, Ib = eng.search(fixed_q, k=args.k)
-            t0 = time.perf_counter()
-            eng.save(prefix)
-            t_save = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            eng.restore(prefix)
-            t_restore = time.perf_counter() - t0
-            Da, Ia = eng.search(fixed_q, k=args.k)
-            same = bool(np.array_equal(np.asarray(Ib), np.asarray(Ia)))
-            snap = {"save_s": round(t_save, 2),
-                    "restore_s": round(t_restore, 2),
-                    "search_identical_after_restore": same,
-                    "ntotal": eng.index.ntotal}
-            events.append(("snapshot", t_save + t_restore))
-            print(f"  snapshot@{i}: save {t_save:.1f}s restore "
-                  f"{t_restore:.1f}s identical={same}", flush=True)
+            snap_ref = (np.asarray(Db), np.asarray(Ib))
+            save_t0 = time.perf_counter()
+            eng_capture_ntotal = eng.index.ntotal
+            save_handle = eng.save_async(prefix)
+            events.append(("snapshot_capture",
+                           time.perf_counter() - save_t0))
+            print(f"  snapshot@{i}: capture+dispatch "
+                  f"{time.perf_counter() - save_t0:.2f}s (write streams in "
+                  "the background; serving continues)", flush=True)
     mix_s = time.perf_counter() - t_mix
+    ntotal_end = eng.index.ntotal
+    if save_handle is not None:
+        save_handle.join()
+        if save_s is None:  # write outlived the mixed phase
+            save_s = time.perf_counter() - save_t0
+        t0 = time.perf_counter()
+        eng.restore(os.path.join(args.workdir, "soak_snap"))
+        t_restore = time.perf_counter() - t0
+        Da, Ia = eng.search(fixed_q, k=args.k)
+        same = bool(np.array_equal(snap_ref[1], np.asarray(Ia)))
+        snap = {"save_s": round(save_s, 2),
+                "restore_s": round(t_restore, 2),
+                "search_identical_after_restore": same,
+                "search_batches_during_save": len(lat_during_save),
+                "ntotal": eng_capture_ntotal}
+        print(f"  snapshot: save {save_s:.1f}s (non-blocking, "
+              f"{len(lat_during_save)} search batches served during it) "
+              f"restore {t_restore:.1f}s identical={same}", flush=True)
     cache1 = _jit_cache_sizes()
     hbm1 = hbm()
 
@@ -236,11 +271,13 @@ def run_soak(args) -> dict:
     for kind, dt in events:
         ev.setdefault(kind, []).append(dt * 1e3)
     search = _pct(lat, args.qbatch)
+    search_during_save = (_pct(lat_during_save, args.qbatch)
+                          if lat_during_save else None)
     report = {
         "rows": args.rows,
         "dim": dim,
         "capacity": capacity,
-        "ntotal_end": eng.index.ntotal,
+        "ntotal_end": ntotal_end,
         "platform": jax.default_backend(),
         "setup_s": round(t_setup, 1),
         "fill_s": round(fill_s, 1),
@@ -249,6 +286,7 @@ def run_soak(args) -> dict:
         "mixed_wall_s": round(mix_s, 1),
         "sustained_mixed_qps": round(args.batches * args.qbatch / mix_s, 1),
         "search": search,
+        "search_during_save": search_during_save,
         "ops_ms": {
             k: {"mean": round(float(np.mean(v)), 1),
                 "max": round(float(np.max(v)), 1), "n": len(v)}

@@ -453,34 +453,56 @@ class DenseIndex:
     # --- persistence (reference: faiss.write_index/read_index,
     #     test_amazon_filterd.py:96-97,159,176 -- commented out upstream,
     #     first-class here)
-    def save(self, path: str) -> None:
-        extra = {}
-        if self.quantize:
-            extra["scales"] = np.asarray(self._scales[: self.size])
-            extra["quantize"] = self.quantize
-        if self._center is not None:
-            extra["center"] = np.asarray(self._center, np.float32)
-        if self.center_mode is not None:
-            extra["center_mode"] = self.center_mode
-        buf = self._buf[: self.size]
-        np.savez(
-            path,
-            buf=np.asarray(
-                buf.astype(jnp.float32)
-                if buf.dtype == jnp.bfloat16 else buf
-            ),
-            dtype=jnp.dtype(self.dtype).name,
-            metric=self.metric,
-            dim=self.dim,
-            capacity=self.capacity,
+    def snapshot(self) -> dict:
+        """Phase 1 of a two-phase save: capture a consistent point-in-time
+        copy of the serving state as DEVICE arrays (slices dispatch fresh
+        buffers, so later adds/removes — which donate ``_buf`` — cannot
+        touch the capture) plus host scalars. Cheap: on-device copies run
+        at HBM bandwidth, no host transfer. Pair with
+        :meth:`write_snapshot` off-thread so a snapshot never blocks
+        serving (VERDICT r4 task 4 — the r4 soak measured the blocking
+        ``save`` at 455 s of serving outage at 1M x 1600)."""
+        snap = {
+            "buf": self._buf[: self.size],
+            "dtype": jnp.dtype(self.dtype).name,
+            "metric": self.metric,
+            "dim": self.dim,
+            "capacity": self.capacity,
             # serving configuration: a tuned engine must restore tuned
             # (VERDICT r2 weak 5 -- snapshots used to silently reset to
             # exact/f32 defaults)
-            mode=self.mode,
-            score_dtype=jnp.dtype(self.score_dtype).name,
-            chunk_size=self.chunk_size,
-            **extra,
-        )
+            "mode": self.mode,
+            "score_dtype": jnp.dtype(self.score_dtype).name,
+            "chunk_size": self.chunk_size,
+        }
+        if self.quantize:
+            snap["scales"] = self._scales[: self.size]
+            snap["quantize"] = self.quantize
+        if self._center is not None:
+            snap["center"] = np.asarray(self._center, np.float32)
+        if self.center_mode is not None:
+            snap["center_mode"] = self.center_mode
+        return snap
+
+    @staticmethod
+    def write_snapshot(snap: dict, path: str) -> None:
+        """Phase 2: download the captured device arrays and write the npz.
+        Safe to run on a background thread while the live index keeps
+        mutating. bf16 corpora persist as raw uint16 bit patterns
+        (``buf_u16``) — half the tunnel transfer and disk of the old
+        f32 widening, bit-exact round trip."""
+        snap = dict(snap)
+        buf = snap.pop("buf")
+        if buf.dtype == jnp.bfloat16:
+            snap["buf_u16"] = np.asarray(buf).view(np.uint16)
+        else:
+            snap["buf"] = np.asarray(buf)
+        if "scales" in snap:
+            snap["scales"] = np.asarray(snap["scales"])
+        np.savez(path, **snap)
+
+    def save(self, path: str) -> None:
+        self.write_snapshot(self.snapshot(), path)
 
     @classmethod
     def load(cls, path: str, capacity: Optional[int] = None, **kw) -> "DenseIndex":
@@ -489,7 +511,12 @@ class DenseIndex:
         the stored values; ``quantize`` cannot be overridden (the stored
         rows are already in code form)."""
         z = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=True)
-        buf = z["buf"]
+        if "buf_u16" in z.files:  # bf16 corpus stored as raw bit patterns
+            import ml_dtypes
+
+            buf = z["buf_u16"].view(ml_dtypes.bfloat16)
+        else:
+            buf = z["buf"]
         quantize = str(z["quantize"]) if "quantize" in z else None
         if "quantize" in kw and kw.pop("quantize") != quantize:
             raise ValueError(

@@ -222,12 +222,19 @@ class ShardedBinaryIndex:
         self.size += m
 
     # ------------------------------------------------------------------
-    def search(self, q_signs, k: int,
-               row_mask=None) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, q_signs, k: int, row_mask=None,
+               out: str = "np") -> Tuple[np.ndarray, np.ndarray]:
         """Global exact Hamming top-k. ``row_mask``: optional bool array
         keyed by GLOBAL id (length >= the highest id ever issued) —
         filtered search; ids are stable under removal, so gid-keyed masks
-        stay valid across maintenance (ShardedDenseIndex semantics)."""
+        stay valid across maintenance (ShardedDenseIndex semantics).
+
+        ``out='device'`` returns jax arrays without the device->host
+        transfer — the device-resident serving contract every index in the
+        repo follows (CLAUDE.md: the tunnel moves big arrays slowly; a
+        [q, k] (D, I) pair per call is ~1 MB of link time that isn't the
+        scan). Pass device-resident ``q_signs`` too for a zero-host-hop
+        query path."""
         q = jnp.where(
             jnp.asarray(q_signs) > 0, 1.0, -1.0
         ).astype(jnp.bfloat16)
@@ -268,6 +275,8 @@ class ShardedBinaryIndex:
             packed_block_rows=getattr(self, "block_rows", 2048),
             use_pallas=self.use_pallas, interpret=self.interpret,
         )
+        if out == "device":
+            return dist[:nq], ids[:nq]
         return np.asarray(dist)[:nq], np.asarray(ids)[:nq]
 
     def range_search(

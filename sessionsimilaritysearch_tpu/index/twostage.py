@@ -390,47 +390,66 @@ class TwoStageIndex:
 
     # --- persistence (serving configuration travels with the data, the
     #     repo-wide snapshot-fidelity contract — VERDICT r2 weak 5)
-    def save(self, path: str) -> None:
-        extra = {}
+    def snapshot(self) -> dict:
+        """Phase 1 of a two-phase save (DenseIndex.snapshot contract):
+        point-in-time DEVICE copies of the serving buffers + host config.
+        Cheap; pair with :meth:`write_snapshot` off-thread so snapshots
+        don't block serving."""
+        snap = {
+            "buf": self._buf[: self.size],
+            "dim": self.dim,
+            "capacity": self.capacity,
+            "metric": self.metric,
+            "prefilter": self.prefilter,
+            "n_bits": self.n_bits,
+            "pool": self.pool,
+            "store_dtype": self.store_dtype.name,
+            "recall_target": self.recall_target,
+            "seed": self.seed,
+            "stage1": self.stage1,
+        }
         if self.prefilter == "int8x8":
-            extra["scales"] = np.asarray(self._scales[: self.size])
+            snap["scales"] = self._scales[: self.size]
         if self.prefilter in ("pca", "itq"):
-            extra["proj_mean"] = np.asarray(self._proj_mean)
-            extra["proj_comp"] = np.asarray(self._proj_comp)
-            extra["proj_explained"] = self._proj_explained
+            snap["proj_mean"] = np.asarray(self._proj_mean)
+            snap["proj_comp"] = np.asarray(self._proj_comp)
+            snap["proj_explained"] = self._proj_explained
         if self._codes_index is not None:
             # packed stage 1: transposed-packed int32 words (npz-native),
             # trimmed to the used pack blocks (BinaryIndex.save layout);
             # the pack block is a LAYOUT property, so it travels with the
             # words and load validates it (BinaryIndex.load semantics)
             ci = self._codes_index
-            extra["codes_packed_t"] = np.asarray(
-                ci._buf[: ci._t_used_rows()]
-            )
-            extra["codes_block_rows"] = ci.block_rows
+            snap["codes_packed_t"] = ci._buf[: ci._t_used_rows()]
+            snap["codes_block_rows"] = ci.block_rows
         else:
             codes = self._codes[: self.size]
             if codes.dtype == jnp.bfloat16:
                 # bf16 isn't a native npz dtype; sign/unit-norm codes
                 # round-trip via f16 without ranking change
-                extra["codes_f16"] = np.asarray(codes.astype(jnp.float16))
+                snap["codes_f16"] = codes.astype(jnp.float16)
             else:
-                extra["codes"] = np.asarray(codes)
-        np.savez(
-            path,
-            buf=np.asarray(self._buf[: self.size].astype(jnp.float32)),
-            dim=self.dim,
-            capacity=self.capacity,
-            metric=self.metric,
-            prefilter=self.prefilter,
-            n_bits=self.n_bits,
-            pool=self.pool,
-            store_dtype=self.store_dtype.name,
-            recall_target=self.recall_target,
-            seed=self.seed,
-            stage1=self.stage1,
-            **extra,
-        )
+                snap["codes"] = codes
+        return snap
+
+    @staticmethod
+    def write_snapshot(snap: dict, path: str) -> None:
+        """Phase 2: download the captured device arrays and write the npz
+        (safe off-thread). bf16 stage-2 rows persist as raw uint16 bit
+        patterns (``buf_u16``) — half the transfer of f32 widening."""
+        snap = dict(snap)
+        buf = snap.pop("buf")
+        if buf.dtype == jnp.bfloat16:
+            snap["buf_u16"] = np.asarray(buf).view(np.uint16)
+        else:
+            snap["buf"] = np.asarray(buf.astype(jnp.float32))
+        for key in ("scales", "codes_packed_t", "codes_f16", "codes"):
+            if key in snap:
+                snap[key] = np.asarray(snap[key])
+        np.savez(path, **snap)
+
+    def save(self, path: str) -> None:
+        self.write_snapshot(self.snapshot(), path)
 
     @classmethod
     def load(
@@ -461,11 +480,17 @@ class TwoStageIndex:
             stage1=str(z["stage1"]) if "stage1" in z else "matmul",
             **kw,
         )
-        n = z["buf"].shape[0]
+        if "buf_u16" in z.files:  # bf16 rows stored as raw bit patterns
+            import ml_dtypes
+
+            buf = z["buf_u16"].view(ml_dtypes.bfloat16)
+        else:
+            buf = z["buf"]
+        n = buf.shape[0]
         if n:
             start = jnp.asarray(0, jnp.int32)
             idx._buf = _write_rows(
-                idx._buf, jnp.asarray(z["buf"], idx.store_dtype), start
+                idx._buf, jnp.asarray(buf, idx.store_dtype), start
             )
             if idx._codes_index is not None:
                 ci = idx._codes_index

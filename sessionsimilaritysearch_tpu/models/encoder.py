@@ -216,6 +216,14 @@ class UnifyPoolingGraphLevelEncoder(nn.Module):
     cross_attention_transformer: Optional[nn.Module] = None
     use_id_embedding: bool = True
 
+    def embed_texts(self, ids, typ, att, deterministic: bool = True):
+        """Text backbone over bare [N, T] token rows — the builder hook for
+        the catalog title/keyword tables (GraphLevelEncoder.embed_texts
+        twin, used by evalharness.harness.build_title_table)."""
+        return self.query_node_embedder(
+            ids, typ, att, deterministic=deterministic
+        )
+
     def __call__(
         self,
         graph,
@@ -224,26 +232,58 @@ class UnifyPoolingGraphLevelEncoder(nn.Module):
         get_node: bool = False,
         get_token: bool = False,
         deterministic: bool = True,
+        title_table=None,
+        query_table=None,
+        query_kw=None,
     ):
+        """``title_table``/``query_table``+``query_kw``: precomputed text
+        embedding catalogs (GraphLevelEncoder.__call__ semantics) — node
+        text embeddings become gathers instead of text-encoder passes.
+        The PRETRAIN payoff: the text backbone is frozen by construction
+        (TextEncoder.freeze stop_gradient, reference .detach()
+        model/NodeEmbedding.py:115), so under the default pretrain config
+        its per-step forward recomputes a constant function of the token
+        rows — ~70%% of the step's FLOPs at flagship dims (measured:
+        examples/mfu_sweep.py). Incompatible with ``get_token`` (the token
+        branch needs true per-token embeddings)."""
         emb, tok = {}, {}
         Q = graph.query_input_ids.shape[1]
-        both, both_tok = _embed_nodes(
-            self.query_node_embedder,
-            jnp.concatenate(
-                [graph.query_input_ids, graph.product_input_ids], axis=1
-            ),
-            jnp.concatenate(
-                [graph.query_type_ids, graph.product_type_ids], axis=1
-            ),
-            jnp.concatenate(
-                [graph.query_attention_mask, graph.product_attention_mask],
-                axis=1,
-            ),
-            get_token=True,
-            deterministic=deterministic,
-        )
-        emb["query"], tok["query"] = both[:, :Q], both_tok[:, :Q]
-        b, tok["product"] = both[:, Q:], both_tok[:, Q:]
+        if title_table is not None:
+            assert not get_token, (
+                "cached text tables cannot serve the token branch "
+                "(token_w>0 needs real token embeddings)"
+            )
+            b = jnp.take(title_table, graph.product_asin, axis=0)
+            if query_table is not None:
+                assert query_kw is not None, "query_table needs query_kw"
+                emb["query"] = jnp.take(query_table, query_kw, axis=0)
+            else:
+                emb["query"] = _embed_nodes(
+                    self.query_node_embedder,
+                    graph.query_input_ids,
+                    graph.query_type_ids,
+                    graph.query_attention_mask,
+                    deterministic=deterministic,
+                )
+        else:
+            both, both_tok = _embed_nodes(
+                self.query_node_embedder,
+                jnp.concatenate(
+                    [graph.query_input_ids, graph.product_input_ids], axis=1
+                ),
+                jnp.concatenate(
+                    [graph.query_type_ids, graph.product_type_ids], axis=1
+                ),
+                jnp.concatenate(
+                    [graph.query_attention_mask,
+                     graph.product_attention_mask],
+                    axis=1,
+                ),
+                get_token=True,
+                deterministic=deterministic,
+            )
+            emb["query"], tok["query"] = both[:, :Q], both_tok[:, :Q]
+            b, tok["product"] = both[:, Q:], both_tok[:, Q:]
         if self.use_id_embedding:
             a = self.product_node_embedder(graph.product_asin)
             emb["product"] = jnp.concatenate([a, b], axis=-1)

@@ -100,8 +100,27 @@ class PretrainModel(nn.Module):
         rng,
         view_graph: Optional[SessionGraph] = None,
         deterministic: bool = False,
+        tables: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """``tables``: optional cached-text catalogs
+        ``{"title_table": [asin_num, d_text], "query_table": [n_kw, d_text]
+        (optional), "query_kw": [B, Q] (with query_table)}`` — the text
+        backbone is frozen (stop_gradient + zero weight decay), so its
+        per-step forward is a constant function of the token rows;
+        serving-style gather tables make the training step skip it
+        entirely (bit-identical loss, tests/test_pretrain.py; ~2.4x step
+        at flagship dims, examples/mfu_sweep.py). Requires every
+        token-consuming auxiliary weight (qh/pt/qaea/node/token) to be 0 —
+        exactly the reference's active configuration
+        (pretrain_filtered_amazon.py:473-490)."""
         cfg = self.cfg
+        if tables is not None:
+            assert cfg.qh_w == 0 and cfg.pt_w == 0 and cfg.qaea_w == 0 \
+                and cfg.node_w == 0 and cfg.token_w == 0, (
+                "cached text tables serve only the active next-product "
+                "objective; token-consuming auxiliaries need the real "
+                "text forward"
+            )
         r_qmask, r_pmask, r_neg1, r_neg2, r_tok = jax.random.split(rng, 5)
 
         # random node keep-masks (pretrain_filtered_amazon.py:418-419)
@@ -135,6 +154,7 @@ class PretrainModel(nn.Module):
         out = self.encoder(
             enc_graph, qmask, pmask, get_node=True, get_token=want_token,
             deterministic=deterministic,
+            **(tables or {}),
         )
         if want_token:
             embedding, node_emb, token_emb = out
@@ -288,7 +308,8 @@ def make_train_step(model: PretrainModel, has_view: bool):
 
     @jax.jit
     def step(state: TrainState, graph: SessionGraph, rng,
-             view_graph: Optional[SessionGraph] = None):
+             view_graph: Optional[SessionGraph] = None,
+             tables: Optional[dict] = None):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
@@ -297,6 +318,7 @@ def make_train_step(model: PretrainModel, has_view: bool):
                 variables, graph, rng,
                 view_graph if has_view else None,
                 deterministic=False,
+                tables=tables,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )

@@ -145,6 +145,48 @@ class TestEngine:
         rep = fresh.report(data[:4], I2)
         assert "ave_all_jaccard" in rep
 
+    def test_save_async_capture_consistency(self, engine_parts,
+                                            tokenizer, tmp_path):
+        """save_async must persist the CAPTURE point: mutations (add +
+        remove) racing the background write must not leak into the
+        snapshot, and searches keep answering while it streams."""
+        from sessionsimilaritysearch_tpu.data.synthetic import (
+            SyntheticSessionGenerator,
+        )
+
+        cfg, encode_fn = engine_parts
+        eng = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8, dtype=__import__("jax.numpy", fromlist=[""]
+                                           ).bfloat16,
+        )
+        # own generator: the shared `gen` fixture is module-scoped and
+        # consuming its stream makes later tests order-dependent
+        data = SyntheticSessionGenerator(
+            asin_num=cfg.asin_num, seed=991
+        ).dataset(30)
+        eng.add_sessions(data[:15])
+        D1, I1 = eng.search(data[:4], k=3)
+        prefix = str(tmp_path / "asnap")
+        h = eng.save_async(prefix)
+        # mutate while (possibly) still writing; serve a query too
+        eng.add_sessions(data[15:])
+        eng.remove_sessions(data=data[2:4])
+        eng.search(data[:4], k=3)
+        h.join()
+        assert h.done()
+        assert eng.index.ntotal == 28  # live engine saw the mutations
+        fresh = SessionSearchEngine(
+            cfg, tokenizer, encode_fn, dim=cfg.n_out, capacity=128,
+            batch_size=8,
+        )
+        fresh.restore(prefix)
+        assert fresh.index.ntotal == 15  # the capture point, exactly
+        D2, I2 = fresh.search(data[:4], k=3)
+        np.testing.assert_array_equal(I1, I2)
+        np.testing.assert_allclose(np.asarray(D1), np.asarray(D2),
+                                   atol=1e-6)
+
     def test_restore_frees_old_buffers_first(self, engine_parts, gen,
                                              tokenizer, tmp_path,
                                              monkeypatch):

@@ -90,6 +90,69 @@ class TestPretrainStep:
         assert 0.0 <= float(p) <= 1.0
         assert 0.0 <= float(r) <= 1.0
 
+    def test_cached_text_tables_match_uncached(self, setup, tokenizer):
+        """The cached-table training step (tables=) must reproduce the
+        uncached step: the text backbone is frozen (stop_gradient, zero
+        weight decay), so gathering its precomputed per-row outputs is
+        mathematically the same forward. Gate for the campaign's cached
+        mode (examples/flagship_campaign.py --cached-text)."""
+        from sessionsimilaritysearch_tpu.data.synthetic import (
+            SyntheticSessionGenerator,
+        )
+        from sessionsimilaritysearch_tpu.evalharness.harness import (
+            build_keyword_table,
+            build_title_table,
+            keyword_ids,
+        )
+        from sessionsimilaritysearch_tpu.models.encoder import (
+            build_pretrain_encoder,
+        )
+
+        cfg, model, state, batch = setup
+        # the setup generator is seeded (11); rebuild for its catalog
+        gen = SyntheticSessionGenerator(asin_num=cfg.asin_num, seed=11)
+        data = gen.dataset(16)
+        enc_mod = build_pretrain_encoder(cfg)
+        enc_vars = {"params": state.params["encoder"]}
+        title_table = build_title_table(
+            cfg, tokenizer, gen.titles, enc_mod, enc_vars, batch_size=128
+        )
+        kws = sorted({a[2] or "" for d in data for a in d[0] + d[1]
+                      if a[1] == "s"})
+        qtable, kw_lookup = build_keyword_table(
+            cfg, tokenizer, kws, enc_mod, enc_vars, batch_size=128
+        )
+        kw = keyword_ids(kw_lookup, np.asarray(batch.query_input_ids))
+        assert kw is not None, "keyword table must cover the batch"
+
+        step = make_train_step(model, has_view=False)
+        rng = jax.random.PRNGKey(5)
+        s_ref, m_ref = step(state, batch, rng)
+        # title-only cache (query store still text-encoded)
+        _, m_t = step(state, batch, rng, None,
+                      {"title_table": title_table})
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_t["loss"]), rtol=1e-5
+        )
+        # fully cached forward: both stores gathered
+        s_c, m_c = step(state, batch, rng, None, {
+            "title_table": title_table,
+            "query_table": qtable,
+            "query_kw": jnp.asarray(kw),
+        })
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_c["loss"]), rtol=1e-5
+        )
+        # the updated TRAINED params agree (text params get zero grads on
+        # both paths; compare the active head + gnn + asin table)
+        for key in ("next_product_head", "target_asin_embedding"):
+            a = jax.tree.leaves(s_ref.params[key])
+            b = jax.tree.leaves(s_c.params[key])
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=2e-5
+                )
+
     def test_contrastive_view_branch(self, gen, tokenizer):
         cfg = tiny_test_config(ctv_w=0.1)
         data = gen.dataset(8)

@@ -46,12 +46,19 @@ class TestServingSoak:
         report, _ = soak_report
         assert report["snapshot"] is not None
         assert report["snapshot"]["search_identical_after_restore"]
+        # non-blocking save: the snapshot result must reflect the CAPTURE
+        # point even though serving kept mutating the corpus during the
+        # background write (save_async consistency contract)
+        assert report["snapshot"]["save_s"] is not None
 
     def test_maintenance_verbs_ran(self, soak_report):
         report, _ = soak_report
         assert report["removed_rows"] > 0
         assert report["expired_rows"] > 0
-        assert set(report["ops_ms"]) >= {"ingest", "remove", "snapshot"}
+        # the snapshot is non-blocking now: only the capture+dispatch cost
+        # lands in the serving loop (the write streams on a worker thread)
+        assert set(report["ops_ms"]) >= {"ingest", "remove",
+                                         "snapshot_capture"}
 
     def test_row_accounting(self, soak_report):
         report, args = soak_report
