@@ -56,6 +56,7 @@ def _jit_cache_sizes() -> dict:
     """Cache sizes of every jitted entry point the exact serving path can
     touch. A flat total across the soak IS the zero-retrace contract."""
     from sessionsimilaritysearch_tpu.ops import topk
+    from sessionsimilaritysearch_tpu.parallel import collectives
 
     out = {}
     for name in ("chunked_topk", "rerank_topk"):
@@ -63,6 +64,8 @@ def _jit_cache_sizes() -> dict:
         size = getattr(fn, "_cache_size", None)
         if size is not None:
             out[name] = size()
+    # the sharded serving path compiles through the collectives cache
+    out["collectives"] = len(collectives._FN_CACHE)
     return out
 
 
@@ -119,11 +122,19 @@ def run_soak(args) -> dict:
 
     # stream headroom: the mixed phase net-adds ibatch rows per iteration
     capacity = args.rows + args.batches * args.ibatch + 4 * args.ibatch
+    mesh = None
+    if getattr(args, "mesh", 0):
+        # sharded-engine soak (VERDICT r4 task 8): the same mixed verb
+        # load against ShardedDenseIndex over a device mesh — stable gids,
+        # tombstoned metadata, collective search, lock-held fallback save
+        from sessionsimilaritysearch_tpu.parallel import create_mesh
+
+        mesh = create_mesh(devices=jax.devices()[: args.mesh])
     # bf16 corpus storage: the benched production dtype (value-recall
     # gated at 2 ulps) — at 1M x 1600 the f32 default costs 6.8 GB/buffer
     # and leaves no headroom for snapshot-restore on a 16 GB chip
     eng = SessionSearchEngine(
-        cfg, tok, encode, dim=dim, capacity=capacity,
+        cfg, tok, encode, dim=dim, capacity=capacity, mesh=mesh,
         batch_size=args.embed_batch, dtype=jnp.bfloat16,
     )
 
@@ -277,6 +288,7 @@ def run_soak(args) -> dict:
         "rows": args.rows,
         "dim": dim,
         "capacity": capacity,
+        "mesh_devices": getattr(args, "mesh", 0) or None,
         "ntotal_end": ntotal_end,
         "platform": jax.default_backend(),
         "setup_s": round(t_setup, 1),
@@ -319,6 +331,9 @@ def main():
     ap.add_argument("--embed-batch", type=int, default=1024)
     ap.add_argument("--remove-every", type=int, default=10)
     ap.add_argument("--expire-every", type=int, default=20)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the engine over this many devices "
+                         "(0 = single-chip)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--tiny", action="store_true")

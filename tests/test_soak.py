@@ -70,3 +70,41 @@ class TestServingSoak:
                     - report["removed_rows"] - report["expired_rows"])
         assert abs(report["ntotal_end"] - expected) <= 16
         assert report["engine_stats"]["pending"] == 0
+
+
+@pytest.fixture(scope="module")
+def sharded_soak_report(tmp_path_factory):
+    """The same mixed verb load against a ShardedDenseIndex engine over
+    the 8-device virtual mesh (VERDICT r4 task 8): stable gids, tombstoned
+    metadata, collective search, snapshot under load."""
+    args = types.SimpleNamespace(
+        rows=512, asin_num=None, fill_chunk=128, batches=6, qbatch=32,
+        ibatch=32, k=10, embed_batch=32, remove_every=2, expire_every=3,
+        workdir=str(tmp_path_factory.mktemp("soak8")), tiny=True,
+        platform=None, out=None, mesh=8,
+    )
+    return run_soak(args), args
+
+
+class TestShardedServingSoak:
+    def test_jit_cache_flat(self, sharded_soak_report):
+        report, _ = sharded_soak_report
+        assert report["mesh_devices"] == 8
+        assert report["jit_cache_flat"], (
+            f"sharded serving retraced during the mixed phase: "
+            f"{report['jit_cache_after_warmup']} -> "
+            f"{report['jit_cache_end']}"
+        )
+
+    def test_snapshot_restore_parity(self, sharded_soak_report):
+        report, _ = sharded_soak_report
+        assert report["snapshot"] is not None
+        assert report["snapshot"]["search_identical_after_restore"]
+
+    def test_maintenance_verbs_ran(self, sharded_soak_report):
+        report, _ = sharded_soak_report
+        assert report["removed_rows"] > 0
+        assert report["expired_rows"] > 0
+        assert set(report["ops_ms"]) >= {"ingest", "remove",
+                                         "snapshot_capture"}
+        assert report["engine_stats"]["pending"] == 0
