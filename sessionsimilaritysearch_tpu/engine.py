@@ -250,8 +250,11 @@ class SessionSearchEngine:
         # gids dropped via remove_sessions in sharded mode (stable-id
         # indexes keep tombstoned metadata rows; single-chip compacts)
         self._removed: set = set()
-        # optional caller-supplied ingest stamp per row (TTL expiry)
-        self._stamps: List[Optional[float]] = []
+        # optional caller-supplied ingest stamp per row (TTL expiry);
+        # NaN = unstamped. A float array, not a Python list: expire()
+        # scans it every call and a 1M-row Python loop costs ~seconds
+        # (r5 soak) while the vectorized compare is ~ms
+        self._stamps = _GrowArr(np.float64)
         if mesh is not None:
             from sessionsimilaritysearch_tpu.index.sharded import (
                 ShardedDenseIndex,
@@ -358,7 +361,7 @@ class SessionSearchEngine:
             jax.block_until_ready(self.index._buf)  # time the device work
         for d, ts in pairs:
             sess = d[0] if isinstance(d, tuple) and len(d) == 2 else d
-            self._stamps.append(ts)
+            self._stamps.append(np.nan if ts is None else float(ts))
             self.sessions.append(sess)
             key = _session_key(sess)
             items = _item_set(sess)
@@ -478,13 +481,14 @@ class SessionSearchEngine:
         must be the SAME ``compaction_plan`` applied to the index."""
         for s, d in zip(src.tolist(), dst.tolist()):
             self.sessions[d] = self.sessions[s]
-            self._stamps[d] = self._stamps[s]
             self._canon[d] = self._canon[s]
             self._items[d] = self._items[s]
         del self.sessions[new_size:]
-        del self._stamps[new_size:]
         del self._canon[new_size:]
         del self._items[new_size:]
+        st = self._stamps.view(len(self._stamps)).copy()
+        st[dst] = st[src]
+        self._stamps = _GrowArr(np.float64, st[:new_size])
         # stale keys may linger in _key_to_id; canonical ids only need
         # EQUALITY semantics (dedup groups rows with the same content), so
         # ids need not stay dense — restore() rebuilds the dense form.
@@ -548,10 +552,22 @@ class SessionSearchEngine:
                         d[0] if isinstance(d, tuple) and len(d) == 2 else d
                     ) not in keys
                 ]
-                rows = [
-                    i for i, key in enumerate(self._canon)
-                    if key in keys and i not in self._removed
-                ]
+                # vectorized content->rows: canonical ids group identical
+                # content, so membership is one np.isin over the id
+                # mirror instead of an O(corpus) Python key scan (the r5
+                # soak measured that scan as the bulk of a ~1.8 s remove
+                # at 1M rows)
+                kids = np.fromiter(
+                    (self._key_to_id[k] for k in keys
+                     if k in self._key_to_id),
+                    np.int64,
+                )
+                mask = np.isin(self._canon_ids.view(len(self._canon)),
+                               kids)
+                if self._removed:
+                    mask[np.fromiter(self._removed, np.int64,
+                                     len(self._removed))] = False
+                rows = np.flatnonzero(mask).tolist()
             else:
                 rows = [int(i) for i in ids if int(i) >= 0]
             if not rows:
@@ -590,11 +606,13 @@ class SessionSearchEngine:
                 (d, ts) for d, ts in self._pending
                 if ts is None or ts >= before
             ]
-            ids = [
-                i for i, ts in enumerate(self._stamps)
-                if ts is not None and ts < before and i not in self._removed
-            ]
-            if not ids:
+            st = self._stamps.view()
+            mask = st < before  # NaN (unstamped) compares False
+            if self._removed:
+                mask[np.fromiter(self._removed, np.int64,
+                                 len(self._removed))] = False
+            ids = np.flatnonzero(mask)
+            if ids.size == 0:
                 return 0
             return self.remove_sessions(ids=ids)
 
@@ -936,7 +954,9 @@ class SessionSearchEngine:
                     if hasattr(self.index, "snapshot") else None)
             meta = {
                 "sessions": list(self.sessions),
-                "stamps": list(self._stamps),
+                # float array, NaN = unstamped (restore also accepts the
+                # legacy list-of-Optional[float] form)
+                "stamps": self._stamps.view(len(self._stamps)).copy(),
                 "pending": [d for d, _ in self._pending],
                 "pending_stamps": [ts for _, ts in self._pending],
             }
@@ -1006,9 +1026,17 @@ class SessionSearchEngine:
             with open(prefix + ".sessions.pkl", "rb") as f:
                 blob = pickle.load(f)
             self.sessions = list(blob["sessions"])
-            self._stamps = list(
-                blob.get("stamps", [None] * len(self.sessions))
-            )
+            raw = blob.get("stamps")
+            if raw is None:
+                arr = np.full(len(self.sessions), np.nan)
+            elif isinstance(raw, np.ndarray):
+                arr = raw.astype(np.float64)
+            else:  # legacy list-of-Optional[float] snapshots
+                arr = np.asarray(
+                    [np.nan if t is None else float(t) for t in raw],
+                    np.float64,
+                )
+            self._stamps = _GrowArr(np.float64, arr)
             pend = list(blob["pending"])
             pend_ts = list(blob.get("pending_stamps", [None] * len(pend)))
             self._pending = list(zip(pend, pend_ts))

@@ -437,15 +437,17 @@ class TwoStageIndex:
         """Phase 2: download the captured device arrays and write the npz
         (safe off-thread). bf16 stage-2 rows persist as raw uint16 bit
         patterns (``buf_u16``) — half the transfer of f32 widening."""
+        from sessionsimilaritysearch_tpu.index.dense import to_host_chunked
+
         snap = dict(snap)
         buf = snap.pop("buf")
         if buf.dtype == jnp.bfloat16:
-            snap["buf_u16"] = np.asarray(buf).view(np.uint16)
+            snap["buf_u16"] = to_host_chunked(buf).view(np.uint16)
         else:
-            snap["buf"] = np.asarray(buf.astype(jnp.float32))
+            snap["buf"] = to_host_chunked(buf.astype(jnp.float32))
         for key in ("scales", "codes_packed_t", "codes_f16", "codes"):
             if key in snap:
-                snap[key] = np.asarray(snap[key])
+                snap[key] = to_host_chunked(snap[key])
         np.savez(path, **snap)
 
     def save(self, path: str) -> None:
