@@ -47,6 +47,7 @@ def run_regime(regime: str, args) -> dict:
     from sessionsimilaritysearch_tpu.evalharness import harness
     from sessionsimilaritysearch_tpu.models.encoder import build_graph_encoder
     from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+    from sessionsimilaritysearch_tpu.training.loop import to_device
     from sessionsimilaritysearch_tpu.training.session_trainers import (
         create_session_state,
         make_session_train_step,
@@ -71,16 +72,18 @@ def run_regime(regime: str, args) -> dict:
         rng = jax.random.PRNGKey(seed)
         loader = SessionGraphLoader(train_data, tok, cfg.dims,
                                     cfg.batch_size, seed=seed, prefetch=4)
-        sample = jax.tree.map(jnp.asarray, next(iter(loader)))
+        sample = to_device(next(iter(loader)))
         model, state = create_session_state(
             cfg, rng, sample, mode=mode, encoder_kind="flagship")
         step = make_session_train_step(model)
         t0 = time.time()
         m = {}
-        for _ in range(args.epochs):
+        for ep in range(args.epochs):
             for b in loader:
                 rng, sub = jax.random.split(rng)
-                state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+                state, m = step(state, to_device(b), sub)
+            print(f"  [{mode} tower] epoch {ep+1}/{args.epochs} "
+                  f"t={time.time()-t0:.0f}s", file=sys.stderr, flush=True)
         t_train = time.time() - t0
         enc_mod = build_graph_encoder(cfg)
         enc_vars = {"params": serving_params(state.params)["encoder"]}
@@ -108,7 +111,7 @@ def run_regime(regime: str, args) -> dict:
         rng_np = np.random.default_rng(seed)
         rng = jax.random.PRNGKey(seed)
         full = [list(s) + list(t) for s, t in train_data]
-        to_dev = lambda g: jax.tree.map(jnp.asarray, g)
+        to_dev = to_device  # packed transport: one upload per dtype
 
         def make_batches(order):
             bs = cfg.batch_size
@@ -121,17 +124,29 @@ def run_regime(regime: str, args) -> dict:
                     tok, cfg.dims)
                 yield to_dev(sess), to_dev(sub)
 
+        t0 = time.time()
         sb0, ssb0 = next(make_batches(np.arange(len(full))))
+        print(f"  [joint towers] first batch built t={time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
         model, state = create_joint_state(
             cfg, rng, sb0, ssb0, encoder_kind="flagship")
+        print(f"  [joint towers] state init t={time.time()-t0:.1f}s",
+              file=sys.stderr, flush=True)
         step = make_joint_train_step(model)
         t0 = time.time()
         m = {}
-        for _ in range(args.epochs):
+        for ep in range(args.epochs):
             order = rng_np.permutation(len(full))
-            for sb, ssb in make_batches(order):
+            for bi, (sb, ssb) in enumerate(make_batches(order)):
                 rng, sub_rng = jax.random.split(rng)
                 state, m = step(state, sb, ssb, sub_rng)
+                if ep == 0 and bi in (0, 1, 4, 16, 64):
+                    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+                    print(f"  [joint towers] batch {bi} t={time.time()-t0:.1f}s",
+                          file=sys.stderr, flush=True)
+            print(f"  [joint towers] epoch {ep+1}/{args.epochs} "
+                  f"t={time.time()-t0:.0f}s loss={float(m['loss']):.4f}",
+                  file=sys.stderr, flush=True)
         t_train = time.time() - t0
         enc_mod = build_graph_encoder(cfg)
         p = serving_params(state.params)

@@ -44,6 +44,7 @@ from sessionsimilaritysearch_tpu.evalharness import metrics
 from sessionsimilaritysearch_tpu.evalharness.harness import evaluate_sparse
 from sessionsimilaritysearch_tpu.index import build_index, sparse as sparse_index
 from sessionsimilaritysearch_tpu.tokenizer import get_tokenizer
+from sessionsimilaritysearch_tpu.training.loop import to_device
 from sessionsimilaritysearch_tpu.training.pretrain import (
     PretrainModel,
     make_encode_fn,
@@ -124,7 +125,7 @@ def run_seed(seed: int, args) -> dict:
         loader = SessionGraphLoader(train_data, tok, cfg.dims,
                                     cfg.batch_size, seed=seed, prefetch=4)
         b0 = next(iter(loader))
-        sample = jax.tree.map(jnp.asarray, b0)
+        sample = to_device(b0)
         model, state = create_session_state(
             cfg, rng, sample, mode="subsession", encoder_kind="flagship"
         )
@@ -136,7 +137,7 @@ def run_seed(seed: int, args) -> dict:
         for _ in range(args.epochs):
             for b in loader:
                 rng, sub = jax.random.split(rng)
-                state, m = step(state, jax.tree.map(jnp.asarray, b), sub)
+                state, m = step(state, to_device(b), sub)
         t_train = time.time() - t0
 
         from sessionsimilaritysearch_tpu.models.encoder import (
@@ -151,14 +152,14 @@ def run_seed(seed: int, args) -> dict:
         enc_apply = jax.jit(lambda g: enc_mod.apply(enc_vars, g))
 
         def encode_batch(b):
-            return enc_apply(jax.tree.map(jnp.asarray, b))
+            return enc_apply(to_device(b))
     else:
         base = SessionGraphLoader(train_data, tok, cfg.dims, cfg.batch_size,
                                   seed=seed, prefetch=4)
         loader = ContrastiveViewLoader(base, random_exchange_order,
                                        seed=seed + 1)
         b0, _ = next(iter(loader))
-        sample = jax.tree.map(jnp.asarray, b0)
+        sample = to_device(b0)
         model = PretrainModel(cfg)
         state = create_train_state(
             model, rng, (sample, rng), adam_with_clip(cfg.lr),
@@ -173,12 +174,12 @@ def run_seed(seed: int, args) -> dict:
         for _ in range(args.epochs):
             for b, v in loader:
                 rng, sub = jax.random.split(rng)
-                state, m = step(state, jax.tree.map(jnp.asarray, b), sub,
-                                jax.tree.map(jnp.asarray, v))
+                state, m = step(state, to_device(b), sub,
+                                to_device(v))
         t_train = time.time() - t0
 
         def encode_batch(b):
-            return encode(state, jax.tree.map(jnp.asarray, b))
+            return encode(state, to_device(b))
 
     def embed_all(data):
         out = []

@@ -84,11 +84,16 @@ class EmbeddingPipeline:
             shuffle=False, ignore_query=self.cfg.ignore_query, cache=False,
             prefetch=self.prefetch, workers=self.workers,
         )
+        from sessionsimilaritysearch_tpu.training.loop import to_device
+
         try:
+            # packed transport: one upload per dtype per batch instead of
+            # ~30 per-leaf uploads (each a full round trip on a tunneled
+            # chip — the r5 RTT fix; see training.loop.to_device)
             if out == "device":
-                parts = [self.encode_fn(b) for b in loader]
+                parts = [self.encode_fn(to_device(b)) for b in loader]
                 return jnp.concatenate(parts, axis=0)[: len(norm)]
-            res = [np.asarray(self.encode_fn(b)) for b in loader]
+            res = [np.asarray(self.encode_fn(to_device(b))) for b in loader]
         finally:
             loader.close()
         # the loader wrap-pads the final batch; rows stay in input order

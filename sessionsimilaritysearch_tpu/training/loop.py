@@ -24,8 +24,76 @@ from sessionsimilaritysearch_tpu.utils.checkpoint import (
 from sessionsimilaritysearch_tpu.utils.logging import MetricLogger, RunDir
 
 
+# Packed host->device transport. `jax.tree.map(jnp.asarray, batch)`
+# uploads every leaf separately — a SessionGraph batch is ~30 arrays, and
+# on a tunneled dev chip each upload pays a full round trip (~20-50 ms),
+# so a single training batch cost ~1-2 s of pure link latency (measured:
+# the r5 knn_pairings run was RTT-bound end-to-end). Packing concatenates
+# all leaves of one dtype into ONE host buffer, uploads one buffer per
+# dtype (typically 2), and slices/reshapes back on device inside a
+# jitted unpack program — identical output pytree, O(1) round trips.
+_PACK_CACHE: dict = {}
+
+
+def _canon_np(leaf):
+    """Canonicalize a host leaf the way jnp.asarray would (x64 disabled)."""
+    a = np.asarray(leaf)
+    if a.dtype == np.float64:
+        a = a.astype(np.float32)
+    elif a.dtype == np.int64:
+        a = a.astype(np.int32)
+    elif a.dtype == np.uint64:
+        a = a.astype(np.uint32)
+    return a
+
+
 def to_device(batch):
-    return jax.tree.map(jnp.asarray, batch)
+    """Move a host pytree to device with packed transport (one upload per
+    distinct dtype + one jitted unpack). Leaves that are already jax
+    arrays pass through untouched (e.g. device-resident zero fields in
+    the campaign's cached-text mode)."""
+    leaves, treedef = jax.tree.flatten(batch)
+    host_ix = [i for i, l in enumerate(leaves)
+               if not isinstance(l, jax.Array)]
+    if not host_ix:
+        return batch
+    canon = {i: _canon_np(leaves[i]) for i in host_ix}
+    key = (treedef, tuple(sorted(
+        (i, canon[i].shape, canon[i].dtype.str) for i in host_ix
+    )))
+    entry = _PACK_CACHE.get(key)
+    if entry is None:
+        dev_ix = [i for i in range(len(leaves)) if i not in set(host_ix)]
+        by_dtype: dict = {}
+        for i in host_ix:
+            by_dtype.setdefault(canon[i].dtype.str, []).append(i)
+        order = sorted(by_dtype)
+        specs = {
+            dt: [(i, canon[i].shape, int(canon[i].size))
+                 for i in by_dtype[dt]]
+            for dt in order
+        }
+
+        @jax.jit
+        def unpack(dev_leaves, *bufs):
+            out = [None] * treedef.num_leaves
+            for j, i in enumerate(dev_ix):
+                out[i] = dev_leaves[j]
+            for dt, buf in zip(order, bufs):
+                off = 0
+                for i, shape, size in specs[dt]:
+                    out[i] = buf[off:off + size].reshape(shape)
+                    off += size
+            return jax.tree.unflatten(treedef, out)
+
+        entry = _PACK_CACHE[key] = (dev_ix, order, specs, unpack)
+    dev_ix, order, specs, unpack = entry
+    bufs = [
+        np.concatenate([canon[i].ravel() for i, _, _ in specs[dt]])
+        if len(specs[dt]) > 1 else canon[specs[dt][0][0]].ravel()
+        for dt in order
+    ]
+    return unpack([leaves[i] for i in dev_ix], *bufs)
 
 
 def run_training(
