@@ -59,6 +59,12 @@ def _flops_of(compiled):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="256,512,1024")
+    ap.add_argument("--cached-only", action="store_true", help=(
+        "measure only the cached-text step (the production campaign "
+        "mode). The UNCACHED step OOMs HBM at B>=512 at flagship dims "
+        "— measured, not asserted: the frozen text backbone's forward "
+        "activations (B x ~42 seqs x 12 layers at 768-d) exceed the "
+        "v5e's 16 GB next to 146M params x3 optimizer copies."))
     ap.add_argument("--steps", type=int, default=24,
                     help="timed steps per point")
     ap.add_argument("--sessions", type=int, default=40_960)
@@ -151,6 +157,98 @@ def main():
                                   f"text {cfg.text_encoder_dim}",
                           "steps_per_point": args.steps},
                "points": []}
+    if args.out and os.path.exists(args.out):
+        # Resume: keep measured points, only run the missing batch sizes.
+        prev = json.load(open(args.out))
+        results["points"] = prev.get("points", [])
+        done = {p["batch_size"] for p in results["points"]}
+        batch_sizes = [b for b in batch_sizes if b not in done]
+        print(f"# resume: have {sorted(done)}, running {batch_sizes}",
+              file=sys.stderr)
+
+    if args.cached_only:
+        # Params/tables are batch-size-independent: init ONCE from a
+        # small sample and reuse across the sweep (the per-point
+        # state+table build is what OOM'd the B=512 point next to its
+        # 8 preloaded batches).
+        cfg0 = cfg.replace(batch_size=8)
+        bats0 = batches_for(8, 1, cfg0)
+        model, state = create_pretrain_state(cfg0, rng, bats0[0])
+        raw_step = make_train_step(model, has_view=False)
+        enc_vars = {"params": state.params["encoder"]}
+        enc_mod = build_pretrain_encoder(cfg0)
+        t0 = time.perf_counter()
+        title_table = build_title_table(
+            cfg0, tok, gen.titles, enc_mod, enc_vars, batch_size=2048)
+        kws = sorted({a[2] or "" for d in data[:4096]
+                      for a in d[0] + d[1] if a[1] == "s"})
+        qtable, kw_lookup = build_keyword_table(
+            cfg0, tok, kws, enc_mod, enc_vars, batch_size=2048)
+        table_build_s = round(time.perf_counter() - t0, 1)
+        del bats0, enc_vars, enc_mod
+
+        for B in batch_sizes:
+            cfg_b = cfg.replace(batch_size=B)
+            bats = batches_for(B, max(2, min(4, args.sessions // B)),
+                               cfg_b)
+            sample = bats[0]
+            point = {"batch_size": B,
+                     "uncached": ("skipped: the uncached step OOMs HBM "
+                                  "at flagship dims for B>=512 "
+                                  "(measured, r5)"),
+                     "table_build_s": table_build_s}
+            kw_grids = [keyword_ids(kw_lookup,
+                                    np.asarray(b.query_input_ids))
+                        for b in bats]
+            assert all(k is not None for k in kw_grids)
+            kw_grids = [jax.device_put(jnp.asarray(k)) for b, k in
+                        zip(bats, kw_grids)]
+            tables0 = {"title_table": title_table, "query_table": qtable,
+                       "query_kw": kw_grids[0]}
+            t0 = time.perf_counter()
+            c_cached = jax.jit(
+                lambda s, g, r, tb: raw_step(s, g, r, None, tb)
+            ).lower(state, sample, rng, tables0).compile()
+            point["cached_compile_s"] = round(time.perf_counter() - t0, 1)
+            cf = _flops_of(c_cached)
+            point["cached_flops_per_step_g"] = (
+                round(cf / 1e9, 1) if cf else None)
+            holder = {"state": state}
+
+            def run_cached(_x, _c=c_cached, _h=holder, _b=bats,
+                           _k=kw_grids):
+                i = np.random.randint(len(_b))
+                tb = {"title_table": title_table, "query_table": qtable,
+                      "query_kw": _k[i]}
+                s, m = _c(_h["state"], _b[i], rng, tb)
+                _h["state"] = s
+                return m["loss"]
+
+            dt_c = timed(run_cached, lambda x: x, args.steps)
+            # the holder's stepped state is discarded per point; `state`
+            # (the pristine init) seeds the next batch size.
+            point["cached_step_ms"] = round(dt_c * 1e3, 2)
+            point["cached_sessions_per_s_device"] = round(B / dt_c, 1)
+            if cf:
+                point["cached_achieved_tflops"] = round(
+                    cf / dt_c / 1e12, 2)
+                point["cached_mfu_vs_v5e_bf16_peak"] = round(
+                    cf / dt_c / V5E_BF16_PEAK_FLOPS, 4)
+            results["points"].append(point)
+            print(json.dumps(point), flush=True)
+            del bats, sample, kw_grids, tables0, c_cached, run_cached
+            del holder
+            import gc
+            gc.collect()
+            if args.out:
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=1)
+
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"wrote {args.out}", file=sys.stderr)
+        return
 
     for B in batch_sizes:
         cfg_b = cfg.replace(batch_size=B)
@@ -160,6 +258,10 @@ def main():
         raw_step = make_train_step(model, has_view=False)
 
         point = {"batch_size": B}
+        holder = {"state": state}
+        enc_vars = {"params": state.params["encoder"]}
+        enc_mod = build_pretrain_encoder(cfg_b)
+        dt = None
 
         # --- full step (uncached)
         t0 = time.perf_counter()
@@ -302,9 +404,21 @@ def main():
 
         results["points"].append(point)
         print(json.dumps(point), flush=True)
+        # Free EVERYTHING device-side before the next (bigger) point: the
+        # first sweep OOM'd at B=512 because enc_vars (encoder params),
+        # tables0 (title/query tables), the B-sized token grids, and the
+        # run_* closures (whose cells pin batches/states) all survived the
+        # original del list.
         del compiled, c_text, c_fwd, c_grad, c_abl, c_cached
         del bats, bats_a, title_table, qtable, kw_grids, holder, holder_c
-        del state, state_a, st0
+        del state, state_a, st0, enc_vars, enc_mod, tables0, sample
+        del ids, typ, att, model, model_a, holder_a
+        del run_step, run_abl, run_cached, text_fwd, loss_only
+        import gc
+        gc.collect()
+        if args.out:  # checkpoint after every point (OOM-resumable)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
 
     if args.out:
         with open(args.out, "w") as f:
