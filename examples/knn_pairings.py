@@ -16,10 +16,14 @@ spaces (train_session_subsession_embedding.py:139-160,:296) — and that
 alignment is what makes the CROSS pairing meaningful; `--towers joint`
 (default) reproduces it via training.session_trainers.JointModel.
 `--towers independent` trains the towers separately as an alignment
-ablation: the within-space pairings hold while subsession->session
-collapses to near-random (measured, docs/RESULTS.md r4).
+ablation: on the clustered regime the within-space pairings hold while
+subsession->session collapses 10.7x to below the popularity floor
+(measured, docs/RESULTS.md r5, artifacts docs/knn_pairings_r5_*.json).
+The adversarial regime is popularity-confounded for THIS protocol (its
+trending head makes a static popularity-top-20 beat every kNN pairing)
+— use clustered for alignment claims.
 
-Run (TPU):  python examples/knn_pairings.py --out docs/knn_pairings_r4.json
+Run (TPU):  python examples/knn_pairings.py --out docs/knn_pairings_r5_joint.json
 Smoke:      python examples/knn_pairings.py --platform cpu --tiny
 """
 
