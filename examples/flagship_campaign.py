@@ -186,7 +186,16 @@ def main():
     warm_loader = make_loader(0)
     sample = to_device(next(iter(warm_loader)))
     warm_loader.close()
-    model, state = create_pretrain_state(cfg, rng, sample)
+    # Init from a sliced-to-8 sample: params are batch-size-independent
+    # and the SAME rng gives the SAME params (restart determinism holds),
+    # but tracing init at the full batch allocates multi-GB of transient
+    # HBM at flagship dims — measured to push the subsequent cached-text
+    # table build over the edge at B=512 (r5; the MFU sweep's
+    # --cached-only path hit the identical failure and pins this fix).
+    init_sample = jax.tree.map(lambda a: a[:8], sample)
+    model, state = create_pretrain_state(
+        cfg.replace(batch_size=8), rng, init_sample)
+    del init_sample
     n_params = sum(
         int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
     )
