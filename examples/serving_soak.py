@@ -88,6 +88,11 @@ def run_soak(args) -> dict:
         args.qbatch = args.ibatch = 64
         args.remove_every, args.expire_every = 3, 4
         args.embed_batch = 64
+    elif args.tiny_model:
+        # tiny DIMS, caller-chosen rows/batches: the CPU-mesh soak
+        # artifact wants realistic row counts and the full verb mix
+        # without a 1600-d text-encoder table build on CPU.
+        cfg = tiny_test_config()
     else:
         cfg = Config().replace(asin_num=args.asin_num, batch_size=256)
     gen = AdversarialSessionGenerator(asin_num=cfg.asin_num, seed=7)
@@ -337,6 +342,9 @@ def main():
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--tiny-model", action="store_true", help=(
+        "tiny encoder dims but caller-chosen rows/batches "
+        "(CPU-mesh artifact mode)"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.platform:
