@@ -40,6 +40,22 @@ def setup(tokenizer):
 
 
 class TestPretrainStep:
+    def test_init_batch_size_invariant(self, setup):
+        """Params from init are identical whatever batch the init traces
+        with: the campaign inits from a sliced-to-8 sample to avoid
+        multi-GB transient init HBM at flagship dims
+        (examples/flagship_campaign.py, r5) — restart determinism (same
+        seed => same params => same cached-text tables) rests on this."""
+        cfg, model, state, batch = setup
+        small = jax.tree.map(lambda a: a[:4], batch)
+        _, state_small = create_pretrain_state(
+            cfg.replace(batch_size=4), jax.random.PRNGKey(0), small
+        )
+        same = jax.tree.map(
+            lambda a, b: bool((a == b).all()), state.params, state_small.params
+        )
+        assert all(jax.tree.leaves(same))
+
     def test_single_step_runs(self, setup):
         cfg, model, state, batch = setup
         step = make_train_step(model, has_view=False)
